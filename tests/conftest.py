@@ -1,0 +1,25 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on `--xla_force_host_platform_device_count=8` CPU devices, and the
+driver separately dry-run-compiles the multi-chip path via
+`__graft_entry__.dryrun_multichip`.
+
+NOTE: this environment's sitecustomize registers a remote-TPU PJRT plugin in
+every python process and pins jax_platforms to it; initializing that backend
+blocks on an exclusive single-chip claim. We force the CPU platform *via the
+config API* (env vars alone are overridden by the sitecustomize) before any
+backend initialization so the test process never dials the TPU.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
