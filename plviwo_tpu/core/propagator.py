@@ -1,0 +1,287 @@
+"""IMU propagation (L2): RK4 mean + FEJ discrete transition, as one lax.scan.
+
+Behavioral rebuild of the reference `Propagator`
+(`PL-VIWO/src/state/Propagator.cpp:30-356`): zeroth-order-hold RK4 quaternion /
+constant-jerk accel mean integration (`predict_mean_rk4`, :238-316), the FEJ
+discrete transition F and discrete noise Qd (Trawny eqs. 129-130,
+`predict_and_compute`, :154-236), and the Phi/Qd accumulation
+(Phi' = F Phi, Q' = F Q F^T + Qd, :59-61) folded into a single fused scan so
+one jit dispatch advances the state over a whole IMU window.
+
+The IMU window is a host-padded fixed-size stack: entries beyond the valid
+range repeat the last sample so dt = 0, which makes F collapse to identity and
+Qd to zero (explicitly guarded).  Boundary samples are pre-interpolated by the
+host (`select_readings`), mirroring `select_imu_readings` + `interpolate_data`
+(:92-152, 318-328).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from .ekf import propagate_cov
+from .state import FilterState
+
+F64 = jnp.float64
+
+
+def rk4_mean(q, p, v, w1, a1, w2, a2, dt, gravity):
+    """One RK4 step of the JPL IMU mean dynamics (bias-corrected inputs).
+
+    q: (4,) q_GtoI; p, v: (3,) in G; w1/a1 at step start, w2/a2 at step end.
+    Matches predict_mean_rk4 (Propagator.cpp:238-316): the local orientation
+    increment dq is integrated with q_dot = 0.5 Omega(w) dq and composed as
+    q_new = dq (x) q.
+    """
+    dt_safe = jnp.where(dt > 0, dt, 1.0)
+    w_alpha = (w2 - w1) / dt_safe
+    a_jerk = (a2 - a1) / dt_safe
+
+    dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=q.dtype)
+
+    def qdot(dq, w):
+        return 0.5 * (lie.omega(w) @ dq[:, None])[:, 0]
+
+    def vdot(dq, a):
+        R_Gtok = lie.quat_2_rot(lie.quat_multiply(dq, q))
+        return R_Gtok.T @ a - gravity
+
+    # k1
+    w_h, a_h = w1, a1
+    k1_q = qdot(dq_0, w_h) * dt
+    k1_p = v * dt
+    k1_v = vdot(dq_0, a_h) * dt
+    # k2
+    w_h = w1 + 0.5 * w_alpha * dt
+    a_h = a1 + 0.5 * a_jerk * dt
+    dq_1 = lie.quat_norm(dq_0 + 0.5 * k1_q)
+    v_1 = v + 0.5 * k1_v
+    k2_q = qdot(dq_1, w_h) * dt
+    k2_p = v_1 * dt
+    k2_v = vdot(dq_1, a_h) * dt
+    # k3
+    dq_2 = lie.quat_norm(dq_0 + 0.5 * k2_q)
+    v_2 = v + 0.5 * k2_v
+    k3_q = qdot(dq_2, w_h) * dt
+    k3_p = v_2 * dt
+    k3_v = vdot(dq_2, a_h) * dt
+    # k4
+    w_h = w1 + w_alpha * dt
+    a_h = a1 + a_jerk * dt
+    dq_3 = lie.quat_norm(dq_0 + k3_q)
+    v_3 = v + k3_v
+    k4_q = qdot(dq_3, w_h) * dt
+    k4_p = v_3 * dt
+    k4_v = vdot(dq_3, a_h) * dt
+
+    dq = lie.quat_norm(dq_0 + (k1_q + 2 * k2_q + 2 * k3_q + k4_q) / 6.0)
+    new_q = lie.quat_multiply(dq, q)
+    new_p = p + (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
+    new_v = v + (k1_v + 2 * k2_v + 2 * k3_v + k4_v) / 6.0
+    return new_q, new_p, new_v
+
+
+def step_transition(
+    q_fej, p_fej, v_fej, new_q, new_p, new_v, w_hat, dt, gravity, sigmas
+):
+    """FEJ discrete transition F (15x15) and noise Qd for one IMU interval.
+
+    Mirrors predict_and_compute (Propagator.cpp:154-236) with error order
+    [theta p v bg ba].  sigmas = (sigma_w, sigma_a, sigma_wb, sigma_ab).
+    """
+    dtype = new_q.dtype
+    Rfej = lie.quat_2_rot(q_fej)
+    dR = lie.quat_2_rot(new_q) @ Rfej.T
+
+    dt_safe = jnp.where(dt > 0, dt, 1.0)
+    Jr_neg = lie.jr_so3(-w_hat * dt)
+
+    F = jnp.eye(15, dtype=dtype)
+    F = F.at[0:3, 0:3].set(dR)
+    F = F.at[0:3, 9:12].set(-dR @ Jr_neg * dt)
+    F = F.at[3:6, 0:3].set(
+        -lie.skew(new_p - p_fej - v_fej * dt + 0.5 * gravity * dt * dt) @ Rfej.T
+    )
+    F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype) * dt)
+    F = F.at[3:6, 12:15].set(-0.5 * Rfej.T * dt * dt)
+    F = F.at[6:9, 0:3].set(-lie.skew(new_v - v_fej + gravity * dt) @ Rfej.T)
+    F = F.at[6:9, 12:15].set(-Rfej.T * dt)
+
+    G = jnp.zeros((15, 12), dtype=dtype)
+    G = G.at[0:3, 0:3].set(-dR @ Jr_neg * dt)
+    G = G.at[6:9, 3:6].set(-Rfej.T * dt)
+    G = G.at[3:6, 3:6].set(-0.5 * Rfej.T * dt * dt)
+    G = G.at[9:12, 6:9].set(jnp.eye(3, dtype=dtype))
+    G = G.at[12:15, 9:12].set(jnp.eye(3, dtype=dtype))
+
+    sw, sa, swb, sab = sigmas
+    qc_diag = jnp.concatenate(
+        [
+            jnp.full((3,), sw**2 / dt_safe, dtype=dtype),
+            jnp.full((3,), sa**2 / dt_safe, dtype=dtype),
+            jnp.full((3,), swb**2 * dt_safe, dtype=dtype),
+            jnp.full((3,), sab**2 * dt_safe, dtype=dtype),
+        ]
+    )
+    Qd = G @ (qc_diag[:, None] * G.T)
+    Qd = 0.5 * (Qd + Qd.T)
+
+    # dt == 0 (padding): identity transition, no noise
+    is_pad = dt <= 0
+    F = jnp.where(is_pad, jnp.eye(15, dtype=dtype), F)
+    Qd = jnp.where(is_pad, jnp.zeros((15, 15), dtype=dtype), Qd)
+    return F, Qd
+
+
+@partial(jax.jit, static_argnames=())
+def propagate_arrays(
+    q, p, v, bg, ba, q_fej, p_fej, v_fej, imu_t, imu_w, imu_a, gravity, sigmas
+):
+    """Scan the IMU stack, returning the new mean and summed (Phi, Qd).
+
+    imu_t: (N,) strictly increasing over the valid range, then repeated
+    (dt = 0) for padding.  imu_w/imu_a: (N, 3).  The first entry must sit at
+    the current state time (host pre-interpolates boundaries).
+    """
+
+    def body(carry, inp):
+        q, p, v, qf, pf, vf, Phi, Qd = carry
+        t0, w1, a1, t1, w2, a2 = inp
+        dt = t1 - t0
+        w_hat = w1 - bg
+        a_hat = a1 - ba
+        w_hat2 = w2 - bg
+        a_hat2 = a2 - ba
+        new_q, new_p, new_v = rk4_mean(q, p, v, w_hat, a_hat, w_hat2, a_hat2, dt, gravity)
+        # keep mean frozen on padded steps
+        new_q = jnp.where(dt > 0, new_q, q)
+        new_p = jnp.where(dt > 0, new_p, p)
+        new_v = jnp.where(dt > 0, new_v, v)
+        F, Qdi = step_transition(qf, pf, vf, new_q, new_p, new_v, w_hat, dt, gravity, sigmas)
+        Phi = F @ Phi
+        Qd = F @ Qd @ F.T + Qdi
+        Qd = 0.5 * (Qd + Qd.T)
+        # after each step fej == est (reference sets set_fej(imu_x))
+        return (new_q, new_p, new_v, new_q, new_p, new_v, Phi, Qd), None
+
+    N = imu_t.shape[0]
+    inputs = (
+        imu_t[:-1], imu_w[:-1], imu_a[:-1],
+        imu_t[1:], imu_w[1:], imu_a[1:],
+    )
+    init = (
+        q, p, v, q_fej, p_fej, v_fej,
+        jnp.eye(15, dtype=q.dtype), jnp.zeros((15, 15), dtype=q.dtype),
+    )
+    (q, p, v, qf, pf, vf, Phi, Qd), _ = jax.lax.scan(body, init, inputs)
+    return q, p, v, Phi, Qd
+
+
+def propagate(state: FilterState, imu_t, imu_w, imu_a, t_end, gravity, sigmas) -> FilterState:
+    """Propagate the full filter state to t_end given a padded IMU stack."""
+    gravity = jnp.asarray(gravity, dtype=F64)
+    q, p, v, Phi, Qd = propagate_arrays(
+        state.q, state.p, state.v, state.bg, state.ba,
+        state.q_fej, state.p_fej, state.v_fej,
+        imu_t, imu_w, imu_a, gravity, sigmas,
+    )
+    cov = propagate_cov(state.cov, Phi, Qd)
+    return state.replace(
+        q=q, p=p, v=v, q_fej=q, p_fej=p, v_fej=v,
+        bg_fej=state.bg, ba_fej=state.ba,
+        cov=cov, time=jnp.asarray(t_end, dtype=F64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side IMU buffer (bookkeeping only; math stays on device)
+# ---------------------------------------------------------------------------
+
+class ImuBuffer:
+    """Host-side ring of IMU samples with boundary-interpolated selection.
+
+    Mirrors Propagator::feed_imu / select_imu_readings / interpolate_data
+    (Propagator.cpp:17-28, 92-152, 318-328) using numpy; produces fixed-size
+    padded stacks for `propagate_arrays`.
+    """
+
+    def __init__(self, max_window: int = 4000):
+        self.t = np.zeros(0)
+        self.w = np.zeros((0, 3))
+        self.a = np.zeros((0, 3))
+        self.max_window = max_window
+
+    def feed(self, t: float, w, a):
+        self.t = np.append(self.t, t)
+        self.w = np.vstack([self.w, np.asarray(w)[None]])
+        self.a = np.vstack([self.a, np.asarray(a)[None]])
+        if len(self.t) > self.max_window:
+            cut = len(self.t) - self.max_window
+            self.t, self.w, self.a = self.t[cut:], self.w[cut:], self.a[cut:]
+
+    def prune(self, t_min: float):
+        keep = self.t >= t_min
+        # keep one sample before t_min for boundary interpolation
+        first = int(np.argmax(keep)) if keep.any() else len(self.t)
+        first = max(first - 1, 0)
+        self.t, self.w, self.a = self.t[first:], self.w[first:], self.a[first:]
+
+    @property
+    def newest(self) -> float:
+        return float(self.t[-1]) if len(self.t) else -np.inf
+
+    @property
+    def oldest(self) -> float:
+        return float(self.t[0]) if len(self.t) else np.inf
+
+    def _interp(self, i, j, t):
+        lam = (t - self.t[i]) / (self.t[j] - self.t[i])
+        w = (1 - lam) * self.w[i] + lam * self.w[j]
+        a = (1 - lam) * self.a[i] + lam * self.a[j]
+        return w, a
+
+    def select(self, t0: float, t1: float, pad_to: int | None = None):
+        """Samples covering [t0, t1] with interpolated boundary entries.
+
+        Returns (t (N,), w (N,3), a (N,3)) or None if the request cannot be
+        satisfied.  If pad_to is given, the stack is right-padded by repeating
+        the final sample (dt = 0 entries are no-ops in the scan).
+        """
+        if len(self.t) < 2 or t1 <= t0 or self.t[0] > t0 or self.t[-1] < t1:
+            return None
+        mid = (self.t > t0) & (self.t < t1)
+        ts, ws, as_ = [t0], [], []
+        i0 = int(np.searchsorted(self.t, t0, side="right") - 1)
+        w0, a0 = self._interp(i0, i0 + 1, t0)
+        ws.append(w0)
+        as_.append(a0)
+        idx = np.nonzero(mid)[0]
+        for i in idx:
+            ts.append(self.t[i])
+            ws.append(self.w[i])
+            as_.append(self.a[i])
+        i1 = int(np.searchsorted(self.t, t1, side="right") - 1)
+        if self.t[i1] == t1:
+            w1, a1 = self.w[i1], self.a[i1]
+        else:
+            w1, a1 = self._interp(i1, i1 + 1, t1)
+        ts.append(t1)
+        ws.append(w1)
+        as_.append(a1)
+        t_arr = np.asarray(ts)
+        w_arr = np.asarray(ws)
+        a_arr = np.asarray(as_)
+        if pad_to is not None:
+            n = len(t_arr)
+            if n > pad_to:
+                return None  # caller must use a bigger pad size
+            reps = pad_to - n
+            t_arr = np.concatenate([t_arr, np.full(reps, t_arr[-1])])
+            w_arr = np.concatenate([w_arr, np.tile(w_arr[-1], (reps, 1))])
+            a_arr = np.concatenate([a_arr, np.tile(a_arr[-1], (reps, 1))])
+        return t_arr, w_arr, a_arr
