@@ -132,18 +132,27 @@ def omega(w):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _theta(w):
-    return jnp.linalg.norm(w, axis=-1)
+def _theta2_safe(w):
+    """(th2, th_safe, small): squared angle (differentiable everywhere), a
+    clamped-safe angle for use in trig denominators, and the small-angle mask.
+
+    norm(w) has a NaN gradient at w = 0; everything downstream must branch on
+    th2 = sum(w^2) (a polynomial) and only evaluate trig at th_safe, which is
+    clamped away from zero so both `jnp.where` branches stay NaN-free under
+    autodiff (the spline simulator jacfwd's through these ops).
+    """
+    th2 = jnp.sum(w * w, axis=-1)
+    small = th2 < 1e-14
+    th_safe = jnp.sqrt(jnp.where(small, 1.0, th2))
+    return th2, th_safe, small
 
 
 def exp_so3(w):
     """so(3) exponential: (...,3) -> (...,3,3), branch-free small-angle safe."""
-    th = _theta(w)
-    th2 = th * th
-    small = th < 1e-7
+    th2, th, small = _theta2_safe(w)
     # sin(th)/th and (1-cos th)/th^2 with Taylor fallbacks
-    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / jnp.where(small, 1.0, th))
-    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th2))
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
     sk = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
@@ -158,23 +167,22 @@ def log_so3(R):
     q = rot_2_quat(R)
     qv = q[..., :3]
     w = jnp.clip(q[..., 3], -1.0, 1.0)
-    n = jnp.linalg.norm(qv, axis=-1)
+    n2 = jnp.sum(qv * qv, axis=-1)
+    small = n2 < 1e-18
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
     th = 2.0 * jnp.arctan2(n, w)
-    small = n < 1e-9
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), th / jnp.where(small, 1.0, n))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), th / n)
     return -qv * scale[..., None]
 
 
 def jl_so3(w):
     """Left Jacobian of SO(3)."""
-    th = _theta(w)
-    th2 = th * th
-    small = th < 1e-7
+    th2, th, small = _theta2_safe(w)
     sk = skew(w)
-    a = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, th2))
+    a = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
     b = jnp.where(
         small, 1.0 / 6.0 - th2 / 120.0,
-        (th - jnp.sin(th)) / jnp.where(small, 1.0, th2 * th),
+        (th - jnp.sin(th)) / (th * th * th),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
@@ -187,15 +195,14 @@ def jr_so3(w):
 
 def jl_so3_inv(w):
     """Inverse left Jacobian of SO(3)."""
-    th = _theta(w)
-    small = th < 1e-7
+    th2, th, small = _theta2_safe(w)
     sk = skew(w)
     half = th / 2.0
-    cot = jnp.where(small, 1.0, half / jnp.tan(jnp.where(small, 1.0, half)))
+    cot = half / jnp.tan(half)
     b = jnp.where(
         small,
-        1.0 / 12.0 + th * th / 720.0,
-        (1.0 - cot) / jnp.where(small, 1.0, th * th),
+        1.0 / 12.0 + th2 / 720.0,
+        (1.0 - cot) / (th * th),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return eye - 0.5 * sk + b[..., None, None] * (sk @ sk)

@@ -1,0 +1,245 @@
+"""Synthetic sensor simulator (test backend).
+
+Rebuild of the MINS/OpenVINS simulation design the reference carries but does
+not build (SURVEY.md section 4.3: `OptionsSimulation`, `TrackSIM`, B-spline
+world): a B-spline ground-truth trajectory plus synthetic IMU / camera-point /
+camera-line / wheel / GPS generators with white noise, bias random walks and
+optional calibration perturbation.  Drives CI (NEES + ATE closure tests) and
+the benchmark harness.
+
+Conventions match the filter: q_GtoI JPL, gravity g = [0,0,9.81] with
+accelerometer model  a_m = R_GtoI (a_G + g) + ba + n_a,  gyro  w_m = w_body +
+bg + n_g  (see core/propagator.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cam as cam_ops
+from ..ops import lie
+from .bspline import BsplineSE3, figure8_controls
+
+F64 = jnp.float64
+
+
+@dataclasses.dataclass
+class SimConfig:
+    seed: int = 0
+    duration: float = 40.0
+    imu_hz: float = 200.0
+    cam_hz: float = 10.0
+    wheel_hz: float = 100.0
+    gps_hz: float = 1.0
+    # imu noise (continuous-time densities)
+    sigma_w: float = 1.7e-4
+    sigma_a: float = 2.0e-3
+    sigma_wb: float = 1.9e-5
+    sigma_ab: float = 3.0e-3
+    # camera
+    n_landmarks: int = 400
+    n_pts: int = 60
+    sigma_pix: float = 1.0
+    width: int = 640
+    height: int = 480
+    intrinsics: tuple = (300.0, 300.0, 320.0, 240.0, -0.05, 0.01, 0.0005, -0.0002)
+    cam_ext_q: tuple = (0.5, -0.5, 0.5, -0.5)  # q_ItoC: camera x right, y down, z forward
+    cam_ext_p: tuple = (0.05, 0.0, 0.0)
+    # lines (vertical/horizontal structure, urban-like)
+    n_lines: int = 60
+    sigma_pix_line: float = 1.5
+    # wheel
+    wheel_rl: float = 0.3
+    wheel_rr: float = 0.3
+    wheel_base: float = 1.5
+    sigma_wheel: float = 0.01  # rad/s on each wheel rate
+    wheel_ext_q: tuple = (0.0, 0.0, 0.0, 1.0)  # q_ItoO
+    wheel_ext_p: tuple = (0.0, 0.0, -0.5)
+    # gps
+    sigma_gps: float = 0.5
+    gps_ext_p: tuple = (0.0, 0.0, 0.3)
+
+
+class Simulator:
+    def __init__(self, cfg: SimConfig | None = None, controls=None):
+        self.cfg = cfg or SimConfig()
+        c = self.cfg
+        if controls is None:
+            controls = figure8_controls(duration=c.duration + 4.0)
+        self.spline = BsplineSE3(*controls)
+        self.rng = np.random.default_rng(c.seed)
+        self.t_start = max(self.spline.t_min, 0.0)
+        self.t_end = min(self.spline.t_max, self.t_start + c.duration)
+
+        # landmark field around the trajectory
+        ts = np.linspace(self.t_start, self.t_end, 60)
+        path = np.stack([np.asarray(self.spline.pose(t))[:3, 3] for t in ts])
+        lo, hi = path.min(0) - 8.0, path.max(0) + 8.0
+        hi[2] = path[:, 2].max() + 6.0
+        lo[2] = path[:, 2].min() - 2.0
+        self.landmarks = self.rng.uniform(lo, hi, size=(c.n_landmarks, 3))
+
+        # 3-D line field: vertical (z-parallel) and horizontal segments
+        n_v = c.n_lines // 2
+        starts = self.rng.uniform(lo, hi, size=(c.n_lines, 3))
+        dirs = np.zeros((c.n_lines, 3))
+        dirs[:n_v] = [0, 0, 1]
+        horiz = self.rng.uniform(-1, 1, size=(c.n_lines - n_v, 2))
+        horiz /= np.linalg.norm(horiz, axis=1, keepdims=True)
+        dirs[n_v:, :2] = horiz
+        lengths = self.rng.uniform(2.0, 8.0, size=(c.n_lines, 1))
+        self.line_p1 = starts
+        self.line_p2 = starts + dirs * lengths
+        self.line_dir_class = np.concatenate(
+            [np.full(n_v, 3), np.full(c.n_lines - n_v, 0)]
+        )  # 3 = z-parallel; horizontal lines get class assigned by VP check
+
+        # bias random walks sampled on the IMU grid
+        n_imu = int((self.t_end - self.t_start) * c.imu_hz) + 1
+        self.imu_t = self.t_start + np.arange(n_imu) / c.imu_hz
+        dt = 1.0 / c.imu_hz
+        self.bg_true = np.cumsum(
+            self.rng.normal(0, c.sigma_wb * np.sqrt(dt), size=(n_imu, 3)), axis=0
+        )
+        self.ba_true = np.cumsum(
+            self.rng.normal(0, c.sigma_ab * np.sqrt(dt), size=(n_imu, 3)), axis=0
+        )
+
+        self._kin_jit = jax.jit(jax.vmap(self.spline.imu_true))
+
+    # ------------------------------------------------------------------
+    # ground truth
+    # ------------------------------------------------------------------
+    def gt_pose(self, t):
+        """(q_GtoI, p_IinG) ground truth at time t."""
+        kin = self.spline.imu_true(t)
+        return lie.rot_2_quat(kin["R_GtoI"]), kin["p_IinG"]
+
+    def gt_kin(self, t):
+        return self.spline.imu_true(t)
+
+    # ------------------------------------------------------------------
+    # sensor streams
+    # ------------------------------------------------------------------
+    def imu_stream(self):
+        """All IMU samples: (t (N,), w_m (N,3), a_m (N,3)) with noise+bias."""
+        c = self.cfg
+        kin = self._kin_jit(jnp.asarray(self.imu_t))
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        w = np.asarray(kin["w_IinI"])
+        a_G = np.asarray(kin["a_IinG"])
+        g = np.array([0.0, 0.0, 9.81])
+        a_body = np.einsum("nij,nj->ni", R_GtoI, a_G + g)
+        dt = 1.0 / c.imu_hz
+        w_m = w + self.bg_true + self.rng.normal(0, c.sigma_w / np.sqrt(dt), w.shape)
+        a_m = a_body + self.ba_true + self.rng.normal(0, c.sigma_a / np.sqrt(dt), a_body.shape)
+        return self.imu_t.copy(), w_m, a_m
+
+    def cam_times(self):
+        c = self.cfg
+        n = int((self.t_end - self.t_start - 0.2) * c.cam_hz)
+        return self.t_start + 0.1 + np.arange(n) / c.cam_hz
+
+    def cam_frame(self, t):
+        """Visible landmark observations at time t.
+
+        Returns (ids (M,), uvs (M,2)) with pixel noise — the TrackSIM idiom:
+        the simulator plays the role of a perfect data-association tracker.
+        """
+        c = self.cfg
+        kin = self.spline.imu_true(t)
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        p_I = np.asarray(kin["p_IinG"])
+        R_ItoC = np.asarray(lie.quat_2_rot(jnp.asarray(c.cam_ext_q, dtype=F64)))
+        p_IinC = np.asarray(c.cam_ext_p)
+        p_C = (R_ItoC @ R_GtoI @ (self.landmarks - p_I).T).T + p_IinC
+        k = jnp.asarray(c.intrinsics, dtype=F64)
+        front = p_C[:, 2] > 0.3
+        uv = np.asarray(cam_ops.project(jnp.asarray(p_C[front]), k, cam_ops.RADTAN))
+        ids_all = np.nonzero(front)[0]
+        inb = (
+            (uv[:, 0] > 1) & (uv[:, 0] < c.width - 2)
+            & (uv[:, 1] > 1) & (uv[:, 1] < c.height - 2)
+            & (np.linalg.norm(p_C[front], axis=1) < 60.0)
+        )
+        ids = ids_all[inb]
+        uv = uv[inb]
+        if len(ids) > c.n_pts:
+            sel = self.rng.permutation(len(ids))[: c.n_pts]
+            sel.sort()
+            ids, uv = ids[sel], uv[sel]
+        uv = uv + self.rng.normal(0, c.sigma_pix, uv.shape)
+        return ids.astype(np.int64), uv
+
+    def line_frame(self, t):
+        """Visible line observations: (ids, endpoints_uv (M,4)) with noise."""
+        c = self.cfg
+        kin = self.spline.imu_true(t)
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        p_I = np.asarray(kin["p_IinG"])
+        R_ItoC = np.asarray(lie.quat_2_rot(jnp.asarray(c.cam_ext_q, dtype=F64)))
+        p_IinC = np.asarray(c.cam_ext_p)
+        k = jnp.asarray(c.intrinsics, dtype=F64)
+
+        def to_cam(P):
+            return (R_ItoC @ R_GtoI @ (P - p_I).T).T + p_IinC
+
+        p1c, p2c = to_cam(self.line_p1), to_cam(self.line_p2)
+        front = (p1c[:, 2] > 0.5) & (p2c[:, 2] > 0.5)
+        uv1 = np.asarray(cam_ops.project(jnp.asarray(p1c[front]), k, cam_ops.RADTAN))
+        uv2 = np.asarray(cam_ops.project(jnp.asarray(p2c[front]), k, cam_ops.RADTAN))
+        ids_all = np.nonzero(front)[0]
+        inb = np.all(
+            [
+                (uv[:, 0] > 1) & (uv[:, 0] < c.width - 2) & (uv[:, 1] > 1) & (uv[:, 1] < c.height - 2)
+                for uv in (uv1, uv2)
+            ],
+            axis=0,
+        )
+        ids = ids_all[inb]
+        seg = np.concatenate([uv1[inb], uv2[inb]], axis=1)
+        seg += self.rng.normal(0, c.sigma_pix_line, seg.shape)
+        return ids.astype(np.int64), seg
+
+    def wheel_times(self):
+        c = self.cfg
+        n = int((self.t_end - self.t_start) * c.wheel_hz)
+        return self.t_start + np.arange(n) / c.wheel_hz
+
+    def wheel_sample(self, t):
+        """(psi_left, psi_right) wheel angular rates at t (noisy)."""
+        c = self.cfg
+        kin = self.spline.imu_true(t)
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        w_I = np.asarray(kin["w_IinI"])
+        v_G = np.asarray(kin["v_IinG"])
+        R_ItoO = np.asarray(lie.quat_2_rot(jnp.asarray(c.wheel_ext_q, dtype=F64)))
+        p_IinO = np.asarray(c.wheel_ext_p)
+        p_OinI = -R_ItoO.T @ p_IinO
+        w_O = R_ItoO @ w_I
+        v_I_body = R_GtoI @ v_G
+        v_O = R_ItoO @ (v_I_body + np.cross(w_I, p_OinI))
+        vx = v_O[0]
+        wz = w_O[2]
+        psi_l = (vx - wz * c.wheel_base / 2.0) / c.wheel_rl
+        psi_r = (vx + wz * c.wheel_base / 2.0) / c.wheel_rr
+        n = self.rng.normal(0, c.sigma_wheel, 2)
+        return psi_l + n[0], psi_r + n[1]
+
+    def gps_times(self):
+        c = self.cfg
+        n = int((self.t_end - self.t_start) * c.gps_hz)
+        return self.t_start + 0.05 + np.arange(n) / c.gps_hz
+
+    def gps_sample(self, t):
+        """ENU position of the GPS antenna (noisy)."""
+        c = self.cfg
+        kin = self.spline.imu_true(t)
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        p_I = np.asarray(kin["p_IinG"])
+        p_gps = p_I + R_GtoI.T @ np.asarray(c.gps_ext_p)
+        return p_gps + self.rng.normal(0, c.sigma_gps, 3)
