@@ -1,0 +1,311 @@
+"""System orchestration (L4): the `SystemManager` equivalent.
+
+Rebuild of `PL-VIWO/src/core/SystemManager.*` (SURVEY.md sections 2.1, 3.2,
+3.3): owns the filter state, IMU buffer, feature databases and updaters;
+IMU feeds drive initialization, clone-time selection, propagation,
+augmentation and marginalization; camera feeds append tracks and trigger the
+MSCKF update at clone times (the *intended* flow — the reference snapshot's
+feed->try_update call is dead code, defect #2 in SURVEY.md).
+
+Division of labor (TPU idiom): all per-message math is jitted device code on
+fixed-size padded arrays; this module is thin host bookkeeping (buffers,
+track stores, clone-slot timetables).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.options import EstimatorOptions
+from ..init.static_imu import try_static_init
+from ..ops import cam as cam_ops
+from ..ops import lie
+from ..ops.chi2 import _TABLE as CHI2_TABLE
+from ..update import cam_helper
+from ..update.feature_db import FeatureDatabase
+from . import ekf, propagator
+from .layout import StateLayout
+from .state import FilterState, make_state, oldest_clone_slot
+
+F64 = jnp.float64
+IMU_PAD = 64  # max IMU samples per propagate dispatch
+
+
+class VioSystem:
+    def __init__(self, opts: EstimatorOptions | None = None):
+        self.opts = opts or EstimatorOptions()
+        op = self.opts
+        self.layout = StateLayout(
+            n_clones=op.max_clones,
+            n_cams=op.cam.max_n,
+            max_slam=op.cam.max_slam,
+            use_wheel=op.wheel.enabled,
+            n_gps=op.gps.max_n if op.gps.enabled else 0,
+        )
+        self.state: FilterState = make_state(self.layout)
+        self.initialized = False
+        self.imu_buf = propagator.ImuBuffer()
+        self.fdb = FeatureDatabase()
+        self.pending_frames: deque = deque()
+        self.gravity = jnp.array([0.0, 0.0, op.gravity_mag], dtype=F64)
+        self.sigmas = (op.imu.sigma_w, op.imu.sigma_a, op.imu.sigma_wb, op.imu.sigma_ab)
+        self.chi2_table = jnp.asarray(CHI2_TABLE)
+        self.distortion_model = cam_ops.RADTAN
+        # telemetry (reference: UpdaterStatistics per sensor)
+        self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0}
+        self.traj: list = []  # (t, q_GtoI, p_IinG) at clone times
+
+    # ------------------------------------------------------------------
+    # configuration helpers
+    # ------------------------------------------------------------------
+    def set_calibration(self, cam_k, cam_q, cam_p, cam_dt=0.0):
+        """Install camera calibration means into the state."""
+        st = self.state
+        self.state = st.replace(
+            cam_k=st.cam_k.at[0].set(jnp.asarray(cam_k, dtype=F64)),
+            cam_q=st.cam_q.at[0].set(jnp.asarray(cam_q, dtype=F64)),
+            cam_p=st.cam_p.at[0].set(jnp.asarray(cam_p, dtype=F64)),
+            cam_dt=st.cam_dt.at[0].set(cam_dt),
+        )
+
+    def initialize_from(self, t, q_GtoI, p, v, bg, ba):
+        """Seed the state (ground-truth init path, Initializer.cpp:170-220)."""
+        op = self.opts.imu
+        st = make_state(
+            self.layout,
+            priors={
+                "imu_th": op.init_cov_ori, "imu_p": op.init_cov_pos,
+                "imu_v": op.init_cov_vel, "imu_bg": op.init_cov_dbg,
+                "imu_ba": op.init_cov_dba,
+            },
+        )
+        q = jnp.asarray(q_GtoI, dtype=F64)
+        p = jnp.asarray(p, dtype=F64)
+        v = jnp.asarray(v, dtype=F64)
+        self.state = st.replace(
+            time=jnp.asarray(t, dtype=F64),
+            q=q, p=p, v=v, bg=jnp.asarray(bg, dtype=F64), ba=jnp.asarray(ba, dtype=F64),
+            q_fej=q, p_fej=p, v_fej=v,
+            bg_fej=jnp.asarray(bg, dtype=F64), ba_fej=jnp.asarray(ba, dtype=F64),
+            cam_k=self.state.cam_k, cam_q=self.state.cam_q,
+            cam_p=self.state.cam_p, cam_dt=self.state.cam_dt,
+        )
+        self.initialized = True
+        self.startup_time = float(t)
+
+    # ------------------------------------------------------------------
+    # sensor feeds
+    # ------------------------------------------------------------------
+    def feed_imu(self, t, w, a):
+        self.imu_buf.feed(t, w, a)
+        if not self.initialized:
+            self._try_init()
+            return
+        self._process_pending()
+
+    def feed_camera(self, t, ids, uvs):
+        """One camera frame of tracked features: persistent ids + raw uv."""
+        uvs = np.atleast_2d(np.asarray(uvs, dtype=np.float64))
+        if len(ids) > 0:
+            # pad to a fixed batch so the jitted undistort compiles once
+            n = len(ids)
+            pad = max(self.opts.cam.n_pts, n)
+            uv_pad = np.zeros((pad, 2))
+            uv_pad[:n] = uvs
+            k = self.state.cam_k[0]
+            uvns = np.asarray(cam_ops.undistort_radtan(jnp.asarray(uv_pad), k))[:n]
+            for fid, uv, uvn in zip(ids, uvs, uvns):
+                self.fdb.update(int(fid), float(t), uv, uvn)
+        self.pending_frames.append(float(t))
+        if self.initialized:
+            self._process_pending()
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _try_init(self):
+        op = self.opts
+        if len(self.imu_buf.t) < 20:
+            return
+        res = try_static_init(
+            self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+            op.init.window_time, op.init.imu_thresh, op.gravity_mag,
+            require_excitation=False,
+        )
+        if res is None:
+            return
+        q = lie.rot_2_quat(jnp.asarray(res["R_GtoI"]))
+        self.initialize_from(res["t"], q, np.zeros(3), res["v"], res["bg"], res["ba"])
+        # drop camera frames from before initialization
+        while self.pending_frames and self.pending_frames[0] <= res["t"]:
+            self.pending_frames.popleft()
+        self.fdb.cleanup(res["t"])
+
+    # ------------------------------------------------------------------
+    # main processing loop
+    # ------------------------------------------------------------------
+    def _process_pending(self):
+        while self.pending_frames:
+            t_frame = self.pending_frames[0]
+            if t_frame <= float(self.state.time):
+                self.pending_frames.popleft()
+                continue
+            if self.imu_buf.newest < t_frame:
+                return  # wait for IMU coverage
+            self.pending_frames.popleft()
+            self._propagate_to(t_frame)
+            self._marginalize_for_window(t_frame)
+            marg_times = self._next_marg_times()
+            self.state = ekf.augment_clone(self.state)
+            self.stats["clones"] += 1
+            self._msckf_update(t_frame, marg_times)
+            self._record_pose()
+            self.fdb.cleanup(t_frame - self.opts.window_size - 0.05)
+            self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
+
+    def _propagate_to(self, t_target):
+        t0 = float(self.state.time)
+        while t0 < t_target - 1e-9:
+            t1 = min(t_target, t0 + (IMU_PAD - 4) / 100.0)  # chunk long gaps
+            sel = self.imu_buf.select(t0, t1, pad_to=IMU_PAD)
+            if sel is None:
+                sel = self.imu_buf.select(t0, t1, pad_to=IMU_PAD * 4)
+                if sel is None:
+                    raise RuntimeError(f"IMU gap: cannot propagate {t0}->{t1}")
+            t_arr, w_arr, a_arr = sel
+            self.state = propagator.propagate(
+                self.state, jnp.asarray(t_arr), jnp.asarray(w_arr), jnp.asarray(a_arr),
+                t1, self.gravity, self.sigmas,
+            )
+            t0 = t1
+
+    def _marginalize_for_window(self, t_now):
+        """Free clone slots: drop clones older than the window, and the oldest
+        one if the ring is full (reference: marginalize_old_clone,
+        StateHelper.cpp:214-233)."""
+        st = self.state
+        t_min = t_now - self.opts.window_size
+        valid = np.asarray(st.clone_valid)
+        times = np.asarray(st.clone_t)
+        for slot in np.nonzero(valid & (times < t_min))[0]:
+            self.state = ekf.marginalize_clone(self.state, int(slot))
+        if int(jnp.sum(self.state.clone_valid)) >= self.layout.n_clones:
+            self.state = ekf.marginalize_clone(self.state, oldest_clone_slot(self.state))
+
+    def _next_marg_times(self):
+        """Clone times that will fall out of the window at the next frame."""
+        st = self.state
+        valid = np.asarray(st.clone_valid)
+        times = np.asarray(st.clone_t)
+        if not valid.any():
+            return set()
+        n_free = self.layout.n_clones - int(valid.sum())
+        out = set()
+        if n_free <= 1:
+            out.add(float(times[valid].min()))
+        return out
+
+    def _record_pose(self):
+        self.traj.append(
+            (
+                float(self.state.time),
+                np.asarray(self.state.q).copy(),
+                np.asarray(self.state.p).copy(),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # MSCKF camera update
+    # ------------------------------------------------------------------
+    def _msckf_update(self, t_frame, marg_times):
+        op = self.opts.cam
+        st = self.state
+        clone_valid = np.asarray(st.clone_valid)
+        clone_times = np.asarray(st.clone_t)
+        tmap = {float(clone_times[i]): i for i in np.nonzero(clone_valid)[0]}
+
+        # --- candidate selection (CamHelper::get_features, :613-707) ---
+        cands = []
+        for fid, tr in list(self.fdb.tracks.items()):
+            n_in_window = sum(1 for ti in tr.times if ti in tmap)
+            if n_in_window < op.min_track_length:
+                continue
+            lost = tr.times[-1] < t_frame
+            hits_marg = any(ti in marg_times for ti in tr.times)
+            if lost or hits_marg:
+                cands.append((n_in_window, fid))
+        if not cands:
+            return
+        cands.sort(reverse=True)
+        cands = cands[: op.max_msckf]
+
+        # fixed batch size: pad features to max_msckf so jit compiles once
+        Fn = op.max_msckf
+        O = self.layout.n_clones
+        obs_uv = np.zeros((Fn, O, 2))
+        obs_uvn = np.zeros((Fn, O, 2))
+        obs_slot = np.zeros((Fn, O), dtype=np.int32)
+        obs_valid = np.zeros((Fn, O), dtype=bool)
+        used_fids = []
+        for i, (_, fid) in enumerate(cands):
+            tr = self.fdb.tracks[fid]
+            j = 0
+            for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
+                if ti in tmap and j < O:
+                    obs_uv[i, j] = uv
+                    obs_uvn[i, j] = uvn
+                    obs_slot[i, j] = tmap[ti]
+                    obs_valid[i, j] = True
+                    j += 1
+            used_fids.append(fid)
+
+        lo = self.layout
+        # --- triangulate ---
+        cq = st.clone_q[jnp.asarray(obs_slot)]
+        cp = st.clone_p[jnp.asarray(obs_slot)]
+        p_f, ok, avg_err = cam_helper.triangulate_batch(
+            jnp.asarray(obs_uvn), cq, cp, jnp.asarray(obs_valid),
+            st.cam_q[0], st.cam_p[0],
+            min_dist=op.triangulation_min_dist,
+            max_dist=op.triangulation_max_dist,
+            max_cond=op.triangulation_max_cond,
+        )
+        # moving-consistency: mean reprojection error below ~3 px
+        fx = float(st.cam_k[0, 0])
+        ok = ok & (avg_err < 3.0 / fx)
+
+        # --- per-feature systems + projection + gate ---
+        Hx, Hf, r, rowmask = cam_helper.point_systems_batch(
+            p_f, jnp.asarray(obs_uv), jnp.asarray(obs_slot), jnp.asarray(obs_valid),
+            st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+            st.cam_q[0], st.cam_p[0], st.cam_k[0],
+            int(self.distortion_model), lo.n_clones, lo.clone_off, lo.dim,
+        )
+        rowmask = rowmask & ok[:, None]
+        sigma2 = op.sigma_pix**2
+        Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
+            Hx, Hf, r, rowmask, st.cov, sigma2, self.chi2_table, op.chi2_mult,
+        )
+        n_ok = int(jnp.sum(feat_ok))
+        self.stats["cam_accept"] += n_ok
+        self.stats["cam_reject"] += len(cands) - n_ok
+        if n_ok == 0:
+            self.fdb.remove([f for f in used_fids])
+            return
+
+        # --- stack, compress, update ---
+        M = Fn * Hn.shape[1]
+        H_all = Hn.reshape(M, lo.dim)
+        r_all = rn.reshape(M)
+        mask_all = rowvalid.reshape(M)
+        Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
+        self.state = ekf.update(
+            self.state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64), cmask
+        )
+        self.stats["updates"] += 1
+
+        # consumed: drop used tracks (MSCKF features are fire-and-forget)
+        self.fdb.remove(used_fids)

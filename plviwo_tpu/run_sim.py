@@ -1,0 +1,114 @@
+"""Simulation replay driver (L5): the `run_bag.cpp` equivalent for synthetic data.
+
+Runs the full sensor pipeline (simulator -> VioSystem) and writes a TUM-format
+trajectory plus a one-line JSON summary, mirroring the reference's offline
+driver flow (`PL-VIWO/src/run_bag.cpp:51-144`: load config, replay messages in
+time order, save trajectory + timing).
+
+Usage:
+    python -m plviwo_tpu.run_sim --duration 15 --seed 1 --out /tmp/traj.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="PL-VIWO TPU: simulated VIO replay")
+    ap.add_argument("--duration", type=float, default=15.0, help="sim duration [s]")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--sigma-pix", type=float, default=0.5)
+    ap.add_argument("--n-pts", type=float, default=45)
+    ap.add_argument("--max-msckf", type=int, default=30)
+    ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="jax platform override (cpu to avoid the TPU claim)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from .config.options import EstimatorOptions
+    from .core.system import VioSystem
+    from .ops import lie
+    from .sim.simulator import SimConfig, Simulator
+
+    cfg = SimConfig(duration=args.duration, seed=args.seed,
+                    sigma_pix=args.sigma_pix, n_pts=int(args.n_pts))
+    sim = Simulator(cfg)
+
+    opts = EstimatorOptions()
+    opts.cam.max_msckf = args.max_msckf
+    opts.cam.sigma_pix = max(args.sigma_pix, 0.3)
+    opts.cam.min_track_length = 4
+    opts.cam.chi2_mult = 5.0
+
+    sys_ = VioSystem(opts)
+    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    kin0 = sim.gt_kin(imu_t[0])
+    q0 = lie.rot_2_quat(kin0["R_GtoI"])
+    sys_.initialize_from(float(imu_t[0]), q0, kin0["p_IinG"], kin0["v_IinG"],
+                         sim.bg_true[0], sim.ba_true[0])
+
+    cam_ts = sim.cam_times()
+    cam_iter = iter([(float(t),) + sim.cam_frame(t) for t in cam_ts])
+    next_cam = next(cam_iter, None)
+
+    t_wall = time.time()
+    for i in range(len(imu_t)):
+        while next_cam is not None and next_cam[0] <= imu_t[i]:
+            sys_.feed_camera(next_cam[0], next_cam[1], next_cam[2])
+            next_cam = next(cam_iter, None)
+        sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+    wall = time.time() - t_wall
+
+    errs = []
+    for t, q, p in sys_.traj:
+        kin = sim.gt_kin(t)
+        errs.append(np.linalg.norm(p - np.asarray(kin["p_IinG"])))
+    errs = np.asarray(errs)
+    rmse = float(np.sqrt(np.mean(errs**2))) if len(errs) else float("nan")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# timestamp tx ty tz qx qy qz qw\n")
+            for t, q, p in sys_.traj:
+                # TUM uses Hamilton q_ItoG; convert from JPL q_GtoI (inverse)
+                qi = np.asarray(q)
+                f.write(
+                    f"{t:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{qi[0]:.7f} {qi[1]:.7f} {qi[2]:.7f} {qi[3]:.7f}\n"
+                )
+
+    import math
+
+    summary = {
+        "frames": len(sys_.traj),
+        "ate_rmse_m": round(rmse, 4) if math.isfinite(rmse) else None,
+        "final_err_m": round(float(errs[-1]), 4) if len(errs) else None,
+        "updates": sys_.stats["updates"],
+        "accept_rate": round(
+            sys_.stats["cam_accept"]
+            / max(sys_.stats["cam_accept"] + sys_.stats["cam_reject"], 1), 3),
+        "wall_s": round(wall, 2),
+        "fps": round(len(sys_.traj) / wall, 1),
+    }
+    print(json.dumps(summary))
+    return 0 if (np.isfinite(rmse) and rmse < 5.0) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

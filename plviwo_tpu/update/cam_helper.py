@@ -1,0 +1,263 @@
+"""Camera point-measurement math (L3): triangulation + batched MSCKF systems.
+
+Functional rebuild of the reference `CamHelper`
+(`PL-VIWO/src/update/cam/CamHelper.cpp:58-775`) and `ov_core::FeatureInitializer`
+(`feat/FeatureInitializer.cpp:30-195`), re-shaped for TPU: everything operates
+on fixed-size padded batches (F features x O observations) with validity
+masks, vmapped + jitted so one dispatch builds every feature's linear system.
+
+Conventions:
+  clone pose: q_GtoI (JPL), p_IinG; extrinsic q_ItoC, p_IinC;
+  p_C = R_ItoC R_GtoI (p_f - p_I) + p_IinC;
+  residual r = uv_meas - distort(p_C) in raw pixels, with the distortion
+  Jacobian chain dz/dzn (reference: get_feature_jacobian_full chain
+  dz/dzn . dzn/dpC . dpC/d{pose, calib, feat}, CamHelper.cpp:58-267).
+
+Jacobians are evaluated at clone FEJ values (first-estimates Jacobians).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cam as cam_ops
+from ..ops import lie
+
+F64 = jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+def _cam_pose_in_g(q_clone, p_clone, cam_q, cam_p):
+    """R_GtoC (...,3,3) and camera center c in G (...,3)."""
+    R_GtoI = lie.quat_2_rot(q_clone)
+    R_ItoC = lie.quat_2_rot(cam_q)
+    R_GtoC = R_ItoC @ R_GtoI
+    c = p_clone - jnp.einsum("...ji,...j->...i", R_GtoC, cam_p)
+    return R_GtoC, c
+
+
+@partial(jax.jit, static_argnames=("gn_iters",))
+def triangulate_batch(
+    obs_uvn, obs_q, obs_p, obs_valid, cam_q, cam_p,
+    min_dist=0.1, max_dist=200.0, max_cond=10000.0, gn_iters: int = 5,
+):
+    """Batched linear triangulation + fixed-iteration GN refine.
+
+    Args:
+      obs_uvn: (F, O, 2) undistorted normalized observations.
+      obs_q: (F, O, 4) clone orientations q_GtoI per observation.
+      obs_p: (F, O, 3) clone positions p_IinG.
+      obs_valid: (F, O) bool.
+      cam_q, cam_p: camera extrinsics (4,), (3,).
+    Returns:
+      p_f: (F, 3) triangulated global positions.
+      ok: (F,) bool success (condition/depth gates, reference
+          FeatureInitializer.cpp:30-112).
+      avg_err: (F,) mean reprojection error (normalized units) for the
+          moving-consistency check (CamHelper.cpp:426-483).
+    """
+    R_GtoC, c = _cam_pose_in_g(obs_q, obs_p, cam_q, cam_p)  # (F,O,3,3), (F,O,3)
+    b_C = jnp.concatenate([obs_uvn, jnp.ones(obs_uvn.shape[:-1] + (1,), dtype=obs_uvn.dtype)], -1)
+    b_C = b_C / jnp.linalg.norm(b_C, axis=-1, keepdims=True)
+    b_G = jnp.einsum("...ji,...j->...i", R_GtoC, b_C)  # (F,O,3)
+
+    m = obs_valid[..., None, None].astype(obs_uvn.dtype)
+    eye = jnp.eye(3, dtype=obs_uvn.dtype)
+    P_perp = (eye - b_G[..., :, None] * b_G[..., None, :]) * m  # (F,O,3,3)
+    A = jnp.sum(P_perp, axis=1)  # (F,3,3)
+    rhs = jnp.sum(jnp.einsum("...ij,...j->...i", P_perp, c), axis=1)  # (F,3)
+
+    # condition gate
+    eigs = jnp.linalg.eigvalsh(A)
+    cond = eigs[..., 2] / jnp.maximum(eigs[..., 0], 1e-12)
+    A_reg = A + 1e-9 * eye
+    p0 = jnp.linalg.solve(A_reg, rhs[..., None])[..., 0]
+
+    def reproj_err(p_f):
+        p_C = jnp.einsum("...ij,...j->...i", R_GtoC, p_f[:, None, :] - obs_p) \
+            + cam_p  # (F,O,3)
+        z = jnp.maximum(p_C[..., 2], 1e-6)
+        zn = p_C[..., :2] / z[..., None]
+        e = (zn - obs_uvn) * obs_valid[..., None]
+        return e, p_C
+
+    def gn_body(p_f, _):
+        e, p_C = reproj_err(p_f)
+        z = jnp.maximum(p_C[..., 2], 1e-6)
+        x, y = p_C[..., 0], p_C[..., 1]
+        # dzn/dpC (F,O,2,3)
+        dzn = jnp.stack(
+            [
+                jnp.stack([1.0 / z, jnp.zeros_like(z), -x / z**2], -1),
+                jnp.stack([jnp.zeros_like(z), 1.0 / z, -y / z**2], -1),
+            ],
+            -2,
+        )
+        J = jnp.einsum("foij,fojk->foik", dzn, R_GtoC)  # (F,O,2,3)
+        J = J * obs_valid[..., None, None]
+        JtJ = jnp.einsum("foik,foil->fkl", J, J) + 1e-6 * eye
+        Jte = jnp.einsum("foik,foi->fk", J, e)
+        dp = jnp.linalg.solve(JtJ, Jte[..., None])[..., 0]
+        return p_f - dp, None
+
+    p_f, _ = jax.lax.scan(gn_body, p0, None, length=gn_iters)
+
+    e, p_C = reproj_err(p_f)
+    n_obs = jnp.maximum(jnp.sum(obs_valid, axis=1), 1)
+    avg_err = jnp.sum(jnp.linalg.norm(e, axis=-1), axis=1) / n_obs
+    depths = p_C[..., 2]
+    depth_ok = jnp.all(
+        jnp.where(obs_valid, (depths > min_dist) & (depths < max_dist), True), axis=1
+    )
+    ok = depth_ok & (cond < max_cond) & (jnp.sum(obs_valid, axis=1) >= 2)
+    ok &= jnp.all(jnp.isfinite(p_f), axis=-1)
+    return p_f, ok, avg_err
+
+
+# ---------------------------------------------------------------------------
+# per-feature linear systems
+# ---------------------------------------------------------------------------
+
+def _point_system_single(
+    p_f, obs_uv, obs_slot, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
+):
+    """Linear system for one feature: residuals + Jacobians wrt clones/feature.
+
+    Returns Hx (2O, D), Hf (2O, 3), r (2O,), rowmask (2O,).
+    """
+    O = obs_uv.shape[0]
+    R_ItoC = lie.quat_2_rot(cam_q)
+
+    q_cl = clone_q[obs_slot]  # (O,4) estimates for residual
+    p_cl = clone_p[obs_slot]
+    q_fe = clone_q_fej[obs_slot]
+    p_fe = clone_p_fej[obs_slot]
+
+    # --- residual at estimates ---
+    R_GtoI = lie.quat_2_rot(q_cl)
+    p_C = jnp.einsum("oij,oj->oi", R_ItoC[None] @ R_GtoI, p_f[None] - p_cl) + cam_p
+    z = jnp.maximum(p_C[..., 2], 1e-6)
+    zn = p_C[..., :2] / z[..., None]
+    uv_pred = cam_ops.distort_radtan(zn, cam_k) if model == 0 else cam_ops.distort_equi(zn, cam_k)
+    r = (obs_uv - uv_pred).reshape(-1)  # (2O,)
+
+    # --- Jacobians at FEJ ---
+    R_GtoI_f = lie.quat_2_rot(q_fe)
+    R_GtoC_f = R_ItoC[None] @ R_GtoI_f
+    p_C_f = jnp.einsum("oij,oj->oi", R_GtoC_f, p_f[None] - p_fe) + cam_p
+    z_f = jnp.maximum(p_C_f[..., 2], 1e-6)
+    x_f, y_f = p_C_f[..., 0], p_C_f[..., 1]
+    dzn_dpC = jnp.stack(
+        [
+            jnp.stack([1.0 / z_f, jnp.zeros_like(z_f), -x_f / z_f**2], -1),
+            jnp.stack([jnp.zeros_like(z_f), 1.0 / z_f, -y_f / z_f**2], -1),
+        ],
+        -2,
+    )  # (O,2,3)
+    zn_f = p_C_f[..., :2] / z_f[..., None]
+    duv_dzn, _ = cam_ops.distort_jacobian(zn_f, cam_k, model)  # (O,2,2)
+    dpix = jnp.einsum("oij,ojk->oik", duv_dzn, dzn_dpC)  # (O,2,3)
+
+    # dpC/dtheta = R_ItoC [R_GtoI_fej (p_f - p_clone)]_x ; dpC/dp = -R_GtoC
+    pf_in_I = jnp.einsum("oij,oj->oi", R_GtoI_f, p_f[None] - p_fe)  # (O,3)
+    dpC_dth = jnp.einsum("ij,ojk->oik", R_ItoC, lie.skew(pf_in_I))  # (O,3,3)
+    dpC_dp = -R_GtoC_f  # (O,3,3)
+    dpC_dpf = R_GtoC_f
+
+    H_th = jnp.einsum("oik,okl->oil", dpix, dpC_dth)  # (O,2,3)
+    H_p = jnp.einsum("oik,okl->oil", dpix, dpC_dp)
+    Hf = jnp.einsum("oik,okl->oil", dpix, dpC_dpf)  # (O,2,3)
+
+    # scatter per-obs clone Jacobians into the clone band via one-hot
+    onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=p_f.dtype)  # (O,C)
+    block = jnp.concatenate([H_th, H_p], axis=-1)  # (O,2,6)
+    # (O,2,C,6) -> (O,2,6C)
+    Hc = (onehot[:, None, :, None] * block[:, :, None, :]).reshape(O, 2, -1)
+    Hx = jnp.zeros((O, 2, D), dtype=p_f.dtype)
+    Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
+
+    # measurement model: z = h(x) + n, r = z - h(x_hat) ~= H dx + n with
+    # H = +dh/dx (standard MSCKF linearization; dx is the error estimate the
+    # EKF solves for)
+    Hx = Hx.reshape(2 * O, D)
+    Hf = Hf.reshape(2 * O, 3)
+    rowmask = jnp.repeat(obs_valid, 2)
+    return Hx, Hf, r, rowmask
+
+
+@partial(jax.jit, static_argnames=("model", "n_clones", "clone_off", "D"))
+def point_systems_batch(
+    p_f, obs_uv, obs_slot, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, model: int, n_clones: int, clone_off: int, D: int,
+):
+    """vmapped per-feature linear systems: (F,...) versions of the single fn."""
+    return jax.vmap(
+        lambda pf, uv, sl, va: _point_system_single(
+            pf, uv, sl, va, clone_q, clone_p, clone_q_fej, clone_p_fej,
+            cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
+        )
+    )(p_f, obs_uv, obs_slot, obs_valid)
+
+
+@partial(jax.jit, static_argnames=())
+def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mult):
+    """Nullspace-project each feature system and chi2-gate it.
+
+    Args:
+      Hx: (F, M, D), Hf: (F, M, 3), r: (F, M), rowmask: (F, M) bool.
+      cov: (D, D); sigma2: pixel noise variance; chi2_table: (K,) 0.95
+      quantiles indexed by dof.
+    Returns:
+      Hn (F, M, D), rn (F, M), rowvalid (F, M), feat_ok (F,).
+
+    Mirrors UpdaterCamera::msckf_update's per-feature loop
+    (UpdaterCamera.cpp:197-294): nullspace projection, residual-norm pre-gate,
+    chi2 gate — but as one batched dispatch.
+    """
+
+    def one(Hx_i, Hf_i, r_i, mask_i):
+        mf = mask_i.astype(Hx_i.dtype)
+        Hx_m = Hx_i * mf[:, None]
+        Hf_m = Hf_i * mf[:, None]
+        r_m = r_i * mf
+        Hn, rn, valid = _nullspace(Hf_m, Hx_m, r_m)
+        # `valid` marks the M-3 complement rows; padded original rows were
+        # zeroed before the QR, so their information content is zero rows in
+        # (Hn, rn) — harmless for the update.  The chi2 dof however must count
+        # true measurements: 2*n_obs - 3.
+        m = valid.astype(Hx_i.dtype)
+        Hv = Hn * m[:, None]
+        rv = rn * m
+        S = Hv @ cov @ Hv.T + sigma2 * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
+        chi = rv @ jnp.linalg.solve(S, rv)
+        dof = jnp.maximum(jnp.sum(mask_i) - 3, 1)
+        gate = chi2_table[jnp.clip(dof, 1, chi2_table.shape[0] - 1)] * chi2_mult
+        ok = (chi < gate) & (jnp.sum(mask_i) >= 5)
+        # raw-residual pre-gate (reference: per-feature residual norm gate,
+        # UpdaterCamera.cpp:242)
+        ok &= jnp.max(jnp.abs(r_m)) < 20.0
+        return Hv, rv, valid & ok, ok
+
+    return jax.vmap(one)(Hx, Hf, r, rowmask)
+
+
+def _nullspace(Hf, Hx, r):
+    M, k = Hf.shape
+    Q, _ = jnp.linalg.qr(Hf, mode="complete")
+    Hx2 = Q.T @ Hx
+    r2 = Q.T @ r
+    idx = jnp.arange(M)
+    valid = idx >= k
+    Hx2 = jnp.roll(Hx2, -k, axis=0)
+    r2 = jnp.roll(r2, -k, axis=0)
+    valid = jnp.roll(valid, -k, axis=0)
+    return Hx2, r2, valid

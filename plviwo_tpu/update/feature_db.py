@@ -1,0 +1,76 @@
+"""Host-side feature track database (L1 bookkeeping).
+
+Redesign of `ov_core::FeatureDatabase` (`feat/FeatureDatabase.h:68-162`) and
+`LineFeatureDatabase` (`linefeat/LineFeatureDatabase.h:18-104`): plain-Python
+track stores keyed by id.  This is deliberately host code — DB bookkeeping is
+pointer-chasing, not math; the batched/jitted device work consumes fixed-size
+padded arrays exported by `export_batch`.
+
+No mutexes: the pipeline is single-threaded per camera stream (the reference's
+locks exist for its live multi-camera threads; concurrency here is inside XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Track:
+    fid: int
+    times: list
+    uvs: list  # raw pixel coords
+    uvns: list  # undistorted normalized coords
+    # flags mirroring PL-VIWO's Feature additions (feat/Feature.h)
+    p_FinG: np.ndarray | None = None
+    triangulated: bool = False
+    dynamic: bool = False
+    to_delete: bool = False
+
+
+class FeatureDatabase:
+    def __init__(self):
+        self.tracks: dict[int, Track] = {}
+
+    def update(self, fid: int, t: float, uv, uvn):
+        tr = self.tracks.get(fid)
+        if tr is None:
+            tr = Track(fid=fid, times=[], uvs=[], uvns=[])
+            self.tracks[fid] = tr
+        tr.times.append(t)
+        tr.uvs.append(np.asarray(uv, dtype=np.float64))
+        tr.uvns.append(np.asarray(uvn, dtype=np.float64))
+
+    def ids_at(self, t: float):
+        return [fid for fid, tr in self.tracks.items() if tr.times and tr.times[-1] == t]
+
+    def lost_before(self, t: float):
+        """Tracks whose newest observation is older than t (update candidates)."""
+        return [tr for tr in self.tracks.items() if tr[1].times[-1] < t]
+
+    def cleanup(self, t_min: float):
+        """Drop measurements older than t_min; drop empty/flagged tracks.
+
+        (Reference: FeatureDatabase::cleanup + cleanup_measurements.)
+        """
+        dead = []
+        for fid, tr in self.tracks.items():
+            keep = [i for i, ti in enumerate(tr.times) if ti >= t_min]
+            if not keep or tr.to_delete:
+                dead.append(fid)
+                continue
+            if len(keep) != len(tr.times):
+                tr.times = [tr.times[i] for i in keep]
+                tr.uvs = [tr.uvs[i] for i in keep]
+                tr.uvns = [tr.uvns[i] for i in keep]
+        for fid in dead:
+            del self.tracks[fid]
+
+    def remove(self, fids):
+        for fid in fids:
+            self.tracks.pop(fid, None)
+
+    def __len__(self):
+        return len(self.tracks)

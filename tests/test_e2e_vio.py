@@ -1,0 +1,112 @@
+"""End-to-end points-only monocular VIO on simulated data (minimal slice).
+
+This is the integration test the reference performs via KAIST bag replay
+(SURVEY.md section 4.1) — here against the B-spline simulator with known
+ground truth: the filter must track the trajectory far better than
+dead-reckoning, with bounded drift.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plviwo_tpu.config.options import EstimatorOptions
+from plviwo_tpu.core.system import VioSystem
+from plviwo_tpu.ops import lie
+from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+
+@pytest.fixture(scope="module")
+def vio_run():
+    cfg = SimConfig(
+        duration=15.0, seed=1,
+        sigma_pix=0.5, n_pts=45,
+        sigma_w=1.7e-4, sigma_a=2.0e-3, sigma_wb=1.9e-5, sigma_ab=3.0e-3,
+    )
+    sim = Simulator(cfg)
+
+    opts = EstimatorOptions()
+    opts.window_size = 1.0
+    opts.clone_freq = 10
+    opts.cam.n_pts = 60
+    opts.cam.max_msckf = 30
+    opts.cam.sigma_pix = 0.5
+    opts.cam.min_track_length = 4
+    opts.cam.chi2_mult = 5.0
+
+    sys = VioSystem(opts)
+    sys.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+
+    # ground-truth initialization (sim starts in motion; reference supports
+    # gt init as a first-class strategy, Initializer.cpp:58-87)
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    t0 = imu_t[0]
+    kin0 = sim.gt_kin(t0)
+    q0 = lie.rot_2_quat(kin0["R_GtoI"])
+    sys.initialize_from(
+        float(t0), q0, kin0["p_IinG"], kin0["v_IinG"],
+        sim.bg_true[0], sim.ba_true[0],
+    )
+
+    cam_ts = sim.cam_times()
+    frames = {float(t): sim.cam_frame(t) for t in cam_ts}
+    cam_iter = iter(sorted(frames.items()))
+    next_cam = next(cam_iter, None)
+
+    for i in range(len(imu_t)):
+        while next_cam is not None and next_cam[0] <= imu_t[i]:
+            t_c, (ids, uvs) = next_cam
+            sys.feed_camera(t_c, ids, uvs)
+            next_cam = next(cam_iter, None)
+        sys.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+
+    return sim, sys
+
+
+def test_tracks_trajectory(vio_run):
+    sim, sys = vio_run
+    assert len(sys.traj) > 100
+    errs = []
+    for t, q, p in sys.traj:
+        kin = sim.gt_kin(t)
+        errs.append(np.linalg.norm(p - np.asarray(kin["p_IinG"])))
+    errs = np.asarray(errs)
+    rmse = float(np.sqrt(np.mean(errs**2)))
+    # travelled distance is ~100m+ over 15 s at ~7 m/s; MSCKF VIO should hold
+    # well under 1% drift with these noise levels
+    assert rmse < 1.0, f"VIO position RMSE {rmse:.3f} m"
+    assert errs[-1] < 2.0, f"final error {errs[-1]:.3f} m"
+
+
+def test_updates_happened(vio_run):
+    _, sys = vio_run
+    assert sys.stats["updates"] > 20
+    assert sys.stats["cam_accept"] > 50
+    # not everything should be rejected
+    total = sys.stats["cam_accept"] + sys.stats["cam_reject"]
+    assert sys.stats["cam_accept"] / max(total, 1) > 0.5
+
+
+def test_covariance_healthy(vio_run):
+    _, sys = vio_run
+    cov = np.asarray(sys.state.cov)
+    D = cov.shape[0]
+    assert np.all(np.isfinite(cov))
+    # active block must be SPD
+    active = np.flatnonzero(np.abs(np.diag(cov)) > 0)
+    sub = cov[np.ix_(active, active)]
+    eig = np.linalg.eigvalsh(sub)
+    assert eig.min() > -1e-12
+    # position uncertainty should stay bounded (features keep it observable)
+    assert np.trace(cov[3:6, 3:6]) < 5.0
+
+
+def test_orientation_error_bounded(vio_run):
+    sim, sys = vio_run
+    t, q, p = sys.traj[-1]
+    kin = sim.gt_kin(t)
+    R_est = np.asarray(lie.quat_2_rot(jnp.asarray(q)))
+    ang = np.linalg.norm(
+        np.asarray(lie.log_so3(jnp.asarray(R_est @ np.asarray(kin["R_GtoI"]).T)))
+    )
+    assert ang < 0.05, f"final orientation error {np.degrees(ang):.2f} deg"
