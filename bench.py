@@ -1,0 +1,101 @@
+"""Benchmark: fused filter-step throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: camera-frame filter steps per second on one chip, batched over
+independent sequences (the data-parallel replay unit).  Each step is the full
+per-frame device pipeline: IMU-window RK4+FEJ propagation (32 samples),
+window marginalization, clone augmentation, batched triangulation (40
+features x 20 obs), MSCKF Jacobians, nullspace projection + chi2 gating,
+QR compression and the Joseph-form EKF update on the ~200-dim state.
+
+Baseline: the reference (MINS-class C++ sliding-window filter, SURVEY.md
+section 6) publishes no in-repo numbers; its class of filter processes a
+frame in ~2 ms on a desktop CPU (~500 frames/s).  BASELINE.json targets
+>=3x reference throughput per chip, so vs_baseline = fps / 1500.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_FPS = 500.0  # assumed reference CPU frames/s (documented above)
+TARGET_MULT = 3.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plviwo_tpu.core.layout import StateLayout
+    from plviwo_tpu.core.state import make_state
+    from plviwo_tpu.core.step import fused_step
+
+    B = 16          # sequences per chip (data-parallel replay batch)
+    n_clones = 22   # 1 s window at up to 20 Hz + margin (KAIST config scale)
+    F, O = 40, 20   # max_msckf features x obs
+    IMU_N = 32
+
+    layout = StateLayout(n_clones=n_clones, n_cams=1)
+    state = make_state(layout, priors={"imu_th": 1e-3, "imu_p": 1e-6,
+                                       "imu_v": 1e-2, "imu_bg": 1e-2, "imu_ba": 1e-2})
+    state = state.replace(
+        time=jnp.asarray(0.0, dtype=jnp.float64),
+        cam_k=state.cam_k.at[0].set(
+            jnp.asarray([300.0, 300.0, 320.0, 240.0, 0, 0, 0, 0], dtype=jnp.float64)
+        ),
+    )
+    rng = np.random.default_rng(0)
+    batched = jax.tree.map(lambda x: jnp.stack([x] * B), state)
+
+    dt = 0.005
+    imu_t = jnp.asarray(np.tile(np.arange(IMU_N) * dt, (B, 1)))
+    imu_w = jnp.asarray(0.01 * rng.normal(size=(B, IMU_N, 3)))
+    imu_a = jnp.asarray(
+        np.array([0.0, 0.0, 9.81]) + 0.01 * rng.normal(size=(B, IMU_N, 3))
+    )
+    t_new = jnp.full((B,), float(imu_t[0, -1]), dtype=jnp.float64)
+    obs_uv = jnp.asarray(rng.uniform(100, 500, size=(B, F, O, 2)))
+    obs_uvn = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, F, O, 2)))
+    obs_slot = jnp.asarray(rng.integers(0, n_clones, size=(B, F, O)), dtype=jnp.int32)
+    obs_valid = jnp.zeros((B, F, O), dtype=bool)
+    gravity = jnp.asarray([0.0, 0.0, 9.81])
+    sigmas = (1.7e-4, 2.0e-3, 1.9e-5, 3.0e-3)
+
+    @jax.jit
+    def step_batch(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid):
+        return jax.vmap(
+            lambda s, a, b, c, d, e, f, g, h: fused_step(
+                s, a, b, c, d, e, f, g, h, gravity, sigmas, 1.0, 1.0,
+                model=0, window_size=1.0,
+            )
+        )(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid)
+
+    # warmup / compile
+    out, _ = step_batch(batched, imu_t, imu_w, imu_a, t_new,
+                        obs_uv, obs_uvn, obs_slot, obs_valid)
+    jax.block_until_ready(out.p)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out, _ = step_batch(out, imu_t, imu_w, imu_a, t_new,
+                            obs_uv, obs_uvn, obs_slot, obs_valid)
+    jax.block_until_ready(out.p)
+    wall = time.perf_counter() - t0
+
+    fps = B * n_iter / wall
+    print(json.dumps({
+        "metric": "filter frames/s per chip (batched fused step, B=16)",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (REFERENCE_FPS * TARGET_MULT), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

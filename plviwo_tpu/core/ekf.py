@@ -82,6 +82,19 @@ def ekf_update(cov, H, r, r_diag, mask):
     return dx, 0.5 * (new_cov + new_cov.T)
 
 
+def whiten(H, r, R_full):
+    """Whiten a small dense-noise system: returns (H', r') with unit noise.
+
+    Used by the wheel/GPS updates whose preintegration covariance is a dense
+    kxk matrix (reference passes the dense R into EKFUpdate; here we whiten so
+    the masked diagonal-R fast path applies).
+    """
+    L = jnp.linalg.cholesky(R_full)
+    Hw = jax.lax.linalg.triangular_solve(L, H, left_side=True, lower=True)
+    rw = jax.lax.linalg.triangular_solve(L, r[:, None], left_side=True, lower=True)[:, 0]
+    return Hw, rw
+
+
 def chi2(cov, H, r, r_diag, mask):
     """chi^2 = r^T (H P H^T + R)^-1 r over the masked rows.
 
@@ -278,25 +291,36 @@ def nullspace_project(Hf, Hx, r):
 
 
 def measurement_compress(H, r, mask):
-    """Compress a tall stacked system to at most D rows via QR.
+    """Compress a tall stacked system to at most D rows.
 
-    (Reference: measurement_compress_inplace, StateHelper.cpp:602-614.)
+    (Reference: measurement_compress_inplace via Givens, StateHelper.cpp:602-614.)
 
-    Rows with mask False are zeroed first (they then contribute nothing to R).
-    Returns (H' (D, Dcols), r' (D,), valid (D,) bool) — rows beyond the true
-    rank carry ~zero rows and are masked by magnitude.
+    TPU-shaped implementation: instead of a tall QR (whose Householder column
+    loop is latency-bound on TPU), form the Gram system
+        G = H^T H (+ eps I),  c = H^T r,
+    factor G = L L^T, and return (H' = L^T, r' = L^{-1} c): then
+    H'^T H' = G and H'^T r' = c, i.e. identical information content, and the
+    dominant cost is one MXU-friendly (M x D)^T (M x D) matmul.  f64 keeps the
+    squared condition number harmless at this scale.
+
+    Rows with mask False are zeroed first.  Returns (H' (D, D), r' (D,),
+    valid (D,) bool).
     """
     Hm = H * mask[:, None].astype(H.dtype)
     rm = r * mask.astype(r.dtype)
     M, D = Hm.shape
     if M <= D:
         return Hm, rm, mask
-    # QR of [H r]: R factor holds the compressed system
-    A = jnp.concatenate([Hm, rm[:, None]], axis=1)
-    R = jnp.linalg.qr(A, mode="r")  # (D+1, D+1)
-    Hc = R[:D, :D]
-    rc = R[:D, D]
-    valid = jnp.linalg.norm(Hc, axis=1) > 1e-12
+    G = Hm.T @ Hm
+    c = Hm.T @ rm
+    # regularize the null directions so the Cholesky exists; the added rows
+    # have r' = 0 there (c lies in range(G)), so they are exact no-ops in the
+    # EKF update.
+    eps = 1e-10 * (1.0 + jnp.max(jnp.diag(G)))
+    L = jnp.linalg.cholesky(G + eps * jnp.eye(D, dtype=H.dtype))
+    rc = jax.lax.linalg.triangular_solve(L, c[:, None], left_side=True, lower=True)[:, 0]
+    Hc = L.T
+    valid = jnp.diag(L) > jnp.sqrt(eps) * 10.0
     return Hc, rc, valid
 
 
@@ -336,7 +360,9 @@ def delayed_init(cov, H_x, H_n, r, r_diag, target_start, target_dim: int):
 
     # --- initialize the new variable (invertible part) ---
     # dn = Hn1^{-1} (r1 - Hx1 dx);  cov blocks per initialize_invertible
-    Hn1_inv = jnp.linalg.inv(Hn1)
+    from ..ops.linalg import inv_small
+
+    Hn1_inv = inv_small(Hn1)
     sigma = r_diag[0]  # isotropic noise required (reference asserts this too)
     # P_nn = Hn1^{-1} (Hx1 P Hx1^T + sigma I) Hn1^{-T}
     PxHt = cov @ Hx1.T  # (D, k)

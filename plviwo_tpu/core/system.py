@@ -25,6 +25,7 @@ from ..ops import cam as cam_ops
 from ..ops import lie
 from ..ops.chi2 import _TABLE as CHI2_TABLE
 from ..update import cam_helper
+from ..update import wheel as wheel_up
 from ..update.feature_db import FeatureDatabase
 from . import ekf, propagator
 from .layout import StateLayout
@@ -54,8 +55,13 @@ class VioSystem:
         self.sigmas = (op.imu.sigma_w, op.imu.sigma_a, op.imu.sigma_wb, op.imu.sigma_ab)
         self.chi2_table = jnp.asarray(CHI2_TABLE)
         self.distortion_model = cam_ops.RADTAN
+        # wheel
+        self.wheel_buf = wheel_up.WheelBuffer()
+        self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
+        self.last_wheel_clone_t = None
         # telemetry (reference: UpdaterStatistics per sensor)
-        self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0}
+        self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
+                      "wheel_accept": 0, "wheel_reject": 0}
         self.traj: list = []  # (t, q_GtoI, p_IinG) at clone times
 
     # ------------------------------------------------------------------
@@ -90,8 +96,12 @@ class VioSystem:
             q=q, p=p, v=v, bg=jnp.asarray(bg, dtype=F64), ba=jnp.asarray(ba, dtype=F64),
             q_fej=q, p_fej=p, v_fej=v,
             bg_fej=jnp.asarray(bg, dtype=F64), ba_fej=jnp.asarray(ba, dtype=F64),
+            # carry over every installed calibration mean
             cam_k=self.state.cam_k, cam_q=self.state.cam_q,
             cam_p=self.state.cam_p, cam_dt=self.state.cam_dt,
+            wheel_q=self.state.wheel_q, wheel_p=self.state.wheel_p,
+            wheel_k=self.state.wheel_k, wheel_dt=self.state.wheel_dt,
+            gps_p=self.state.gps_p, gps_dt=self.state.gps_dt,
         )
         self.initialized = True
         self.startup_time = float(t)
@@ -122,6 +132,22 @@ class VioSystem:
         self.pending_frames.append(float(t))
         if self.initialized:
             self._process_pending()
+
+    def feed_wheel(self, t, m1, m2):
+        """One wheel sample: (m1, m2) = (left, right) rates/velocities, or
+        (omega, v) for the *Cen types (reference: WheelData.m1/m2)."""
+        self.wheel_buf.feed(t, m1, m2)
+        if self.initialized:
+            self._process_pending()
+
+    def set_wheel_calibration(self, wheel_q, wheel_p, intrinsics, dt=0.0):
+        st = self.state
+        self.state = st.replace(
+            wheel_q=jnp.asarray(wheel_q, dtype=F64),
+            wheel_p=jnp.asarray(wheel_p, dtype=F64),
+            wheel_k=jnp.asarray(intrinsics, dtype=F64),
+            wheel_dt=jnp.asarray(dt, dtype=F64),
+        )
 
     # ------------------------------------------------------------------
     # initialization
@@ -162,6 +188,8 @@ class VioSystem:
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
             self._msckf_update(t_frame, marg_times)
+            if self.opts.wheel.enabled:
+                self._wheel_update()
             self._record_pose()
             self.fdb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
@@ -216,6 +244,68 @@ class VioSystem:
                 np.asarray(self.state.p).copy(),
             )
         )
+
+    # ------------------------------------------------------------------
+    # wheel update
+    # ------------------------------------------------------------------
+    def _wheel_update(self):
+        """Preintegrated relative-pose updates over consecutive clone pairs
+        (reference: UpdaterWheel::try_update walking clones newer than
+        last_updated_clone_time, UpdaterWheel.cpp:36-140)."""
+        op = self.opts.wheel
+        lo = self.layout
+        st = self.state
+        valid = np.asarray(st.clone_valid)
+        times = np.asarray(st.clone_t)
+        slots_sorted = sorted(
+            (float(times[i]), int(i)) for i in np.nonzero(valid)[0]
+        )
+        if len(slots_sorted) < 2:
+            return
+        if self.last_wheel_clone_t is None:
+            self.last_wheel_clone_t = slots_sorted[0][0]
+        tmap = {t: s for t, s in slots_sorted}
+        if self.last_wheel_clone_t not in tmap:
+            # marginalized away; restart from the oldest available
+            self.last_wheel_clone_t = slots_sorted[0][0]
+        toff = float(st.wheel_dt)
+        for t1, slot1 in slots_sorted:
+            t0 = self.last_wheel_clone_t
+            if t1 <= t0:
+                continue
+            sel = self.wheel_buf.select(t0 - toff, t1 - toff, pad_to=32)
+            if sel is None:
+                break
+            ts, m1s, m2s = sel
+            R_m, p_m, Cov, dR_di, dp_di = wheel_up.preintegrate_3d(
+                jnp.asarray(ts), jnp.asarray(m1s), jnp.asarray(m2s),
+                self.state.wheel_k, op.noise_w, op.noise_v, op.noise_p,
+                self.wheel_type,
+            )
+            st = self.state
+            slot0 = tmap[t0]
+            H, res = wheel_up.linear_system_3d(
+                st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                jnp.asarray(slot0), jnp.asarray(slot1),
+                st.wheel_q, st.wheel_p, R_m, p_m, dR_di, dp_di,
+                lo.n_clones, lo.clone_off, lo.dim,
+                lo.wheel_ext if lo.use_wheel else 0,
+                lo.wheel_int if lo.use_wheel else 0,
+                op.do_calib_ext, op.do_calib_int,
+            )
+            Cov_reg = Cov + 1e-12 * jnp.eye(6, dtype=F64)
+            Hw, rw = ekf.whiten(H, res, Cov_reg)
+            ones = jnp.ones(6, dtype=F64)
+            mask = jnp.ones(6, dtype=bool)
+            chi = float(ekf.chi2(st.cov, Hw, rw, ones, mask))
+            gate = float(self.chi2_table[6]) * op.chi2_mult
+            if chi < gate:
+                self.state = ekf.update(st, Hw, rw, ones, mask)
+                self.stats["wheel_accept"] += 1
+            else:
+                self.stats["wheel_reject"] += 1
+            self.last_wheel_clone_t = t1
+        self.wheel_buf.prune(self.last_wheel_clone_t - toff - 0.5)
 
     # ------------------------------------------------------------------
     # MSCKF camera update

@@ -24,6 +24,7 @@ def main(argv=None):
     ap.add_argument("--sigma-pix", type=float, default=0.5)
     ap.add_argument("--n-pts", type=float, default=45)
     ap.add_argument("--max-msckf", type=int, default=30)
+    ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -54,8 +55,20 @@ def main(argv=None):
     opts.cam.min_track_length = 4
     opts.cam.chi2_mult = 5.0
 
+    if args.wheel:
+        opts.wheel.enabled = True
+        opts.wheel.type = "Wheel3DAng"
+        opts.wheel.noise_w = 0.05
+        opts.wheel.noise_v = 0.05
+        opts.wheel.noise_p = 0.02
+        opts.wheel.intrinsics = [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base]
+        opts.wheel.chi2_mult = 10.0
+
     sys_ = VioSystem(opts)
     sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+    if args.wheel:
+        sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
+                                   [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
 
     imu_t, imu_w, imu_a = sim.imu_stream()
     kin0 = sim.gt_kin(imu_t[0])
@@ -66,9 +79,17 @@ def main(argv=None):
     cam_ts = sim.cam_times()
     cam_iter = iter([(float(t),) + sim.cam_frame(t) for t in cam_ts])
     next_cam = next(cam_iter, None)
+    wheel_iter = iter(
+        [(float(t),) + sim.wheel_sample(t) for t in sim.wheel_times()]
+        if args.wheel else []
+    )
+    next_wheel = next(wheel_iter, None)
 
     t_wall = time.time()
     for i in range(len(imu_t)):
+        while next_wheel is not None and next_wheel[0] <= imu_t[i]:
+            sys_.feed_wheel(*next_wheel)
+            next_wheel = next(wheel_iter, None)
         while next_cam is not None and next_cam[0] <= imu_t[i]:
             sys_.feed_camera(next_cam[0], next_cam[1], next_cam[2])
             next_cam = next(cam_iter, None)

@@ -69,7 +69,12 @@ class Simulator:
         self.cfg = cfg or SimConfig()
         c = self.cfg
         if controls is None:
-            controls = figure8_controls(duration=c.duration + 4.0)
+            # a fixed-pace figure-8 regardless of how much of it we replay:
+            # short sims otherwise become violently fast (the lap time scales
+            # with duration), which also creates lateral slip that breaks the
+            # nonholonomic wheel model
+            lap = max(c.duration + 4.0, 60.0)
+            controls = figure8_controls(duration=lap, dt_knot=0.25)
         self.spline = BsplineSE3(*controls)
         self.rng = np.random.default_rng(c.seed)
         self.t_start = max(self.spline.t_min, 0.0)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import cam as cam_ops
 from ..ops import lie
+from ..ops.linalg import solve3x3, solve_psd
 
 F64 = jnp.float64
 
@@ -77,7 +78,7 @@ def triangulate_batch(
     eigs = jnp.linalg.eigvalsh(A)
     cond = eigs[..., 2] / jnp.maximum(eigs[..., 0], 1e-12)
     A_reg = A + 1e-9 * eye
-    p0 = jnp.linalg.solve(A_reg, rhs[..., None])[..., 0]
+    p0 = solve3x3(A_reg, rhs)
 
     def reproj_err(p_f):
         p_C = jnp.einsum("...ij,...j->...i", R_GtoC, p_f[:, None, :] - obs_p) \
@@ -103,7 +104,7 @@ def triangulate_batch(
         J = J * obs_valid[..., None, None]
         JtJ = jnp.einsum("foik,foil->fkl", J, J) + 1e-6 * eye
         Jte = jnp.einsum("foik,foi->fk", J, e)
-        dp = jnp.linalg.solve(JtJ, Jte[..., None])[..., 0]
+        dp = solve3x3(JtJ, Jte)
         return p_f - dp, None
 
     p_f, _ = jax.lax.scan(gn_body, p0, None, length=gn_iters)
@@ -238,7 +239,7 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
         Hv = Hn * m[:, None]
         rv = rn * m
         S = Hv @ cov @ Hv.T + sigma2 * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
-        chi = rv @ jnp.linalg.solve(S, rv)
+        chi = rv @ solve_psd(S, rv)
         dof = jnp.maximum(jnp.sum(mask_i) - 3, 1)
         gate = chi2_table[jnp.clip(dof, 1, chi2_table.shape[0] - 1)] * chi2_mult
         ok = (chi < gate) & (jnp.sum(mask_i) >= 5)
@@ -251,11 +252,27 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
 
 
 def _nullspace(Hf, Hx, r):
+    """Left-nullspace projection of (Hx, r) against Hf via k explicit
+    Householder reflectors (k = Hf.shape[1], static).
+
+    A complete QR materializes an (M, M) Q; on TPU the k sequential rank-1
+    reflector applications (pure matmul/outer ops) are far cheaper.  After the
+    sweep, rows k..M-1 of the reflected [Hx | r] are Q2^T [Hx | r].
+    """
     M, k = Hf.shape
-    Q, _ = jnp.linalg.qr(Hf, mode="complete")
-    Hx2 = Q.T @ Hx
-    r2 = Q.T @ r
+    A = jnp.concatenate([Hf, Hx, r[:, None]], axis=1)  # (M, k+D+1)
     idx = jnp.arange(M)
+    for j in range(k):
+        x = jnp.where(idx >= j, A[:, j], 0.0)
+        nx = jnp.linalg.norm(x)
+        alpha = -jnp.sign(x[j] + 1e-300) * nx
+        v = x - alpha * (idx == j).astype(A.dtype)
+        nv = jnp.linalg.norm(v)
+        v = v / jnp.where(nv < 1e-12, 1.0, nv)
+        scale = jnp.where(nv < 1e-12, 0.0, 2.0)
+        A = A - scale * v[:, None] * (v @ A)[None, :]
+    Hx2 = A[:, k:-1]
+    r2 = A[:, -1]
     valid = idx >= k
     Hx2 = jnp.roll(Hx2, -k, axis=0)
     r2 = jnp.roll(r2, -k, axis=0)

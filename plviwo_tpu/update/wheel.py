@@ -1,0 +1,284 @@
+"""Wheel-odometry updater (L3).
+
+Behavioral rebuild of `PL-VIWO/src/update/wheel/UpdaterWheel.*` (SURVEY.md
+section 2.4): six wheel models (2D/3D x {Ang, Lin, Cen}), per-clone-interval
+preintegration of the relative O-frame pose with noise covariance and
+intrinsic Jacobians, and the FEJ linear system against the two bounding
+clones (+ extrinsic/intrinsic calib columns).
+
+TPU shaping: preintegration is one `lax.scan` over a host-padded measurement
+stack (dt = 0 padding steps are identities); the linear system scatters into
+the fixed layout via one-hot clone masks; the dense 6x6 (or 3x3) preintegration
+covariance is whitened (Cholesky) so the masked diagonal-R EKF update applies.
+
+Conventions (mirroring the reference):
+  extrinsic: q_ItoO, p_IinO;  p_OinI = -R_ItoO^T p_IinO
+  measured relative motion: R_O0toO1 (JPL-integrated), p_O1inO0
+  residual_r = -log_so3(R_meas R_est^T);  residual_p = p_meas - p_est
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from ..core.state import FilterState
+
+F64 = jnp.float64
+
+# wheel type codes
+W2D_ANG, W2D_LIN, W2D_CEN, W3D_ANG, W3D_LIN, W3D_CEN = range(6)
+TYPE_CODES = {
+    "Wheel2DAng": W2D_ANG, "Wheel2DLin": W2D_LIN, "Wheel2DCen": W2D_CEN,
+    "Wheel3DAng": W3D_ANG, "Wheel3DLin": W3D_LIN, "Wheel3DCen": W3D_CEN,
+}
+
+
+def _wv_from_meas(m1, m2, intr, type_code: int):
+    """Angular rate (about z) and forward velocity from one sample."""
+    rl, rr, b = intr[0], intr[1], intr[2]
+    if type_code in (W2D_ANG, W3D_ANG):
+        w = (m2 * rr - m1 * rl) / b
+        v = (m2 * rr + m1 * rl) / 2.0
+    elif type_code in (W2D_LIN, W3D_LIN):
+        w = (m2 - m1) / b
+        v = (m2 + m1) / 2.0
+    else:  # Cen
+        w = m1
+        v = m2
+    return w, v
+
+
+@partial(jax.jit, static_argnames=("type_code",))
+def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: int):
+    """3D RK4 preintegration over a padded stack (reference: preintegration_3D,
+    UpdaterWheel.cpp:648-774 + intrinsics :472-502).
+
+    ts: (N,) times, repeated-last for padding (dt = 0 -> identity step).
+    Returns (R_O0toO1 (3,3), p_O1inO0 (3,), Cov (6,6), dR_di (3,3), dp_di (3,3)).
+    """
+    rl, rr, b = intr[0], intr[1], intr[2]
+
+    def body(carry, inp):
+        R, p, Cov, dR_di, dp_di = carry
+        t0, a1, b1, t1, a2, b2 = inp
+        dt = t1 - t0
+        dt_safe = jnp.where(dt > 0, dt, 1.0)
+
+        w1, v1 = _wv_from_meas(a1, b1, intr, type_code)
+        w2, v2 = _wv_from_meas(a2, b2, intr, type_code)
+        w_hat1 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[2].set(w1)
+        v_hat1 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[0].set(v1)
+        w_hat2 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[2].set(w2)
+        v_hat2 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[0].set(v2)
+
+        # --- intrinsic Jacobian integration (uses start-of-step values) ---
+        Hwx = jnp.zeros((3, 3), dtype=F64)
+        Hwx = Hwx.at[2, 0].set(-a1 / b).at[2, 1].set(b1 / b).at[2, 2].set(-w1 / b)
+        Hvx = jnp.zeros((3, 3), dtype=F64)
+        Hvx = Hvx.at[0, 0].set(a1 / 2.0).at[0, 1].set(b1 / 2.0)
+        R_step = lie.exp_so3(-w_hat1 * dt)
+        Hth = lie.jl_so3(-w_hat1 * dt) * dt
+        new_dp_di = dp_di - R.T @ lie.skew(v_hat1 * dt) @ dR_di + R.T @ Hvx * dt
+        new_dR_di = R_step @ dR_di + Hth @ Hwx
+
+        # --- RK4 mean (JPL local frame, like the reference) ---
+        q_local = lie.rot_2_quat(R)
+        w_alpha = (w_hat2 - w_hat1) / dt_safe
+        v_jerk = (v_hat2 - v_hat1) / dt_safe
+        dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=F64)
+
+        def qdot(dq, w):
+            return 0.5 * (lie.omega(w) @ dq[:, None])[:, 0]
+
+        def pdot(dq, v):
+            return lie.quat_2_rot(lie.quat_multiply(dq, q_local)).T @ v
+
+        w_h, v_h = w_hat1, v_hat1
+        k1_q = qdot(dq_0, w_h) * dt
+        k1_p = pdot(dq_0, v_h) * dt
+        w_h = w_hat1 + 0.5 * w_alpha * dt
+        v_h = v_hat1 + 0.5 * v_jerk * dt
+        dq_1 = lie.quat_norm(dq_0 + 0.5 * k1_q)
+        k2_q = qdot(dq_1, w_h) * dt
+        k2_p = pdot(dq_1, v_h) * dt
+        dq_2 = lie.quat_norm(dq_0 + 0.5 * k2_q)
+        k3_q = qdot(dq_2, w_h) * dt
+        k3_p = pdot(dq_2, v_h) * dt
+        w_h = w_hat1 + w_alpha * dt
+        v_h = v_hat1 + v_jerk * dt
+        dq_3 = lie.quat_norm(dq_0 + k3_q)
+        k4_q = qdot(dq_3, w_h) * dt
+        k4_p = pdot(dq_3, v_h) * dt
+
+        dq = lie.quat_norm(dq_0 + (k1_q + 2 * k2_q + 2 * k3_q + k4_q) / 6.0)
+        R_new = lie.quat_2_rot(lie.quat_multiply(dq, q_local))
+        p_new = p + (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
+
+        # --- noise covariance accumulation ---
+        if type_code == W3D_ANG:
+            qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
+                               noise_w**2, noise_p**2, noise_p**2], dtype=F64)
+        elif type_code == W3D_LIN:
+            qdiag = jnp.array([noise_v**2 / b**2, noise_p**2, noise_p**2,
+                               noise_v**2 / 4.0, noise_p**2, noise_p**2], dtype=F64)
+        else:
+            qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
+                               noise_v**2, noise_p**2, noise_p**2], dtype=F64)
+        Q = jnp.diag(qdiag / dt_safe)
+        Phi_tr = jnp.zeros((6, 6), dtype=F64)
+        Phi_tr = Phi_tr.at[0:3, 0:3].set(R_new @ R.T)
+        Phi_tr = Phi_tr.at[3:6, 0:3].set(-R.T @ lie.skew(R.T @ (p_new - p)))
+        Phi_tr = Phi_tr.at[3:6, 3:6].set(jnp.eye(3, dtype=F64))
+        Phi_ns = jnp.zeros((6, 6), dtype=F64)
+        Phi_ns = Phi_ns.at[0:3, 0:3].set(dt * jnp.eye(3, dtype=F64))
+        Phi_ns = Phi_ns.at[3:6, 3:6].set(R.T * dt)
+        Cov_new = Phi_tr @ Cov @ Phi_tr.T + Phi_ns @ Q @ Phi_ns.T
+        Cov_new = 0.5 * (Cov_new + Cov_new.T)
+
+        pad = dt <= 0
+        R_out = jnp.where(pad, R, R_new)
+        p_out = jnp.where(pad, p, p_new)
+        Cov_out = jnp.where(pad, Cov, Cov_new)
+        dR_out = jnp.where(pad, dR_di, new_dR_di)
+        dp_out = jnp.where(pad, dp_di, new_dp_di)
+        return (R_out, p_out, Cov_out, dR_out, dp_out), None
+
+    init = (
+        jnp.eye(3, dtype=F64), jnp.zeros(3, dtype=F64), jnp.zeros((6, 6), dtype=F64),
+        jnp.zeros((3, 3), dtype=F64), jnp.zeros((3, 3), dtype=F64),
+    )
+    inputs = (ts[:-1], m1s[:-1], m2s[:-1], ts[1:], m1s[1:], m2s[1:])
+    (R, p, Cov, dR_di, dp_di), _ = jax.lax.scan(body, init, inputs)
+    return R, p, Cov, dR_di, dp_di
+
+
+@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D", "wheel_ext_off",
+                                   "wheel_int_off", "do_calib_ext", "do_calib_int"))
+def linear_system_3d(
+    clone_q, clone_p, clone_q_fej, clone_p_fej, slot0, slot1,
+    wheel_q, wheel_p, R_meas, p_meas, dR_di, dp_di,
+    n_clones: int, clone_off: int, D: int,
+    wheel_ext_off: int, wheel_int_off: int,
+    do_calib_ext: bool, do_calib_int: bool,
+):
+    """FEJ linear system for the 3D relative-pose wheel measurement.
+
+    Returns H (6, D), res (6,).  (Reference: compute_linear_system_3D,
+    UpdaterWheel.cpp:328-422.)
+    """
+    R_ItoO = lie.quat_2_rot(wheel_q)
+    p_IinO = wheel_p
+    p_OinI = -R_ItoO.T @ p_IinO
+
+    # residual with current estimates
+    R0 = lie.quat_2_rot(clone_q[slot0])
+    R1 = lie.quat_2_rot(clone_q[slot1])
+    p0 = clone_p[slot0]
+    p1 = clone_p[slot1]
+    R_est = R_ItoO @ R1 @ R0.T @ R_ItoO.T
+    res_r = -lie.log_so3(R_meas @ R_est.T)
+    p_est = R_ItoO @ R0 @ (p1 + R1.T @ p_OinI - p0 - R0.T @ p_OinI)
+    res_p = p_meas - p_est
+    res = jnp.concatenate([res_r, res_p])
+
+    # Jacobians at FEJ
+    R0f = lie.quat_2_rot(clone_q_fej[slot0])
+    R1f = lie.quat_2_rot(clone_q_fej[slot1])
+    p0f = clone_p_fej[slot0]
+    p1f = clone_p_fej[slot1]
+    RO0toO1 = R_ItoO @ R1f @ R0f.T @ R_ItoO.T
+    RO1toO0 = RO0toO1.T
+
+    dzr_dth0 = -R_ItoO @ R1f @ R0f.T
+    dzr_dth1 = jnp.broadcast_to(R_ItoO, (3, 3))
+    dzp_dth0 = R_ItoO @ lie.skew(R0f @ p1f + R0f @ R1f.T @ p_OinI - R0f @ p0f)
+    dzp_dp0 = -R_ItoO @ R0f
+    dzp_dth1 = -R_ItoO @ R0f @ R1f.T @ lie.skew(p_OinI)
+    dzp_dp1 = R_ItoO @ R0f
+
+    # scatter into the big H via one-hot over clone slots
+    onehot0 = jax.nn.one_hot(slot0, n_clones, dtype=F64)  # (C,)
+    onehot1 = jax.nn.one_hot(slot1, n_clones, dtype=F64)
+    block0 = jnp.concatenate(
+        [jnp.concatenate([dzr_dth0, jnp.zeros((3, 3), dtype=F64)], 1),
+         jnp.concatenate([dzp_dth0, dzp_dp0], 1)], 0)  # (6,6)
+    block1 = jnp.concatenate(
+        [jnp.concatenate([dzr_dth1, jnp.zeros((3, 3), dtype=F64)], 1),
+         jnp.concatenate([dzp_dth1, dzp_dp1], 1)], 0)
+    Hc = (onehot0[None, :, None] * block0[:, None, :]
+          + onehot1[None, :, None] * block1[:, None, :]).reshape(6, 6 * n_clones)
+    H = jnp.zeros((6, D), dtype=F64)
+    H = H.at[:, clone_off : clone_off + 6 * n_clones].set(Hc)
+
+    if do_calib_ext:
+        dzr_dthc = jnp.eye(3, dtype=F64) - RO0toO1
+        dzp_dpc = -RO1toO0 + jnp.eye(3, dtype=F64)
+        dzp_dthc = lie.skew(R_ItoO @ R0f @ (p1f - p0f) - RO1toO0 @ p_IinO) \
+            + RO1toO0 @ lie.skew(p_IinO)
+        H = H.at[0:3, wheel_ext_off : wheel_ext_off + 3].set(dzr_dthc)
+        H = H.at[3:6, wheel_ext_off : wheel_ext_off + 3].set(dzp_dthc)
+        H = H.at[3:6, wheel_ext_off + 3 : wheel_ext_off + 6].set(dzp_dpc)
+    if do_calib_int:
+        H = H.at[0:3, wheel_int_off : wheel_int_off + 3].set(-dR_di)
+        H = H.at[3:6, wheel_int_off : wheel_int_off + 3].set(-dp_di)
+    return H, res
+
+
+class WheelBuffer:
+    """Host-side wheel measurement buffer with split/interpolated selection
+    (reference: select_wheel_data, UpdaterWheel.cpp:142-217)."""
+
+    def __init__(self):
+        self.t = np.zeros(0)
+        self.m1 = np.zeros(0)
+        self.m2 = np.zeros(0)
+
+    def feed(self, t, m1, m2):
+        self.t = np.append(self.t, t)
+        self.m1 = np.append(self.m1, m1)
+        self.m2 = np.append(self.m2, m2)
+
+    def prune(self, t_min):
+        keep = np.searchsorted(self.t, t_min, side="left")
+        keep = max(keep - 1, 0)
+        self.t, self.m1, self.m2 = self.t[keep:], self.m1[keep:], self.m2[keep:]
+
+    def _interp(self, i, j, t):
+        lam = (t - self.t[i]) / (self.t[j] - self.t[i])
+        return ((1 - lam) * self.m1[i] + lam * self.m1[j],
+                (1 - lam) * self.m2[i] + lam * self.m2[j])
+
+    def select(self, t0, t1, pad_to=None):
+        if len(self.t) < 2 or self.t[0] > t0 or self.t[-1] <= t1 or t1 <= t0:
+            return None
+        ts, m1s, m2s = [t0], [], []
+        i0 = int(np.searchsorted(self.t, t0, side="right") - 1)
+        if self.t[i0] == t0:
+            m1s.append(self.m1[i0]); m2s.append(self.m2[i0])
+        else:
+            a, b = self._interp(i0, i0 + 1, t0)
+            m1s.append(a); m2s.append(b)
+        mid = (self.t > t0) & (self.t < t1)
+        for i in np.nonzero(mid)[0]:
+            ts.append(self.t[i]); m1s.append(self.m1[i]); m2s.append(self.m2[i])
+        i1 = int(np.searchsorted(self.t, t1, side="right") - 1)
+        if self.t[i1] == t1:
+            a, b = self.m1[i1], self.m2[i1]
+        else:
+            a, b = self._interp(i1, i1 + 1, t1)
+        ts.append(t1); m1s.append(a); m2s.append(b)
+        t_arr, m1_arr, m2_arr = np.asarray(ts), np.asarray(m1s), np.asarray(m2s)
+        if pad_to is not None:
+            n = len(t_arr)
+            if n > pad_to:
+                return None
+            reps = pad_to - n
+            t_arr = np.concatenate([t_arr, np.full(reps, t_arr[-1])])
+            m1_arr = np.concatenate([m1_arr, np.full(reps, m1_arr[-1])])
+            m2_arr = np.concatenate([m2_arr, np.full(reps, m2_arr[-1])])
+        return t_arr, m1_arr, m2_arr
