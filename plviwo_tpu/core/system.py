@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections import deque
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,8 +26,9 @@ from ..ops import cam as cam_ops
 from ..ops import lie
 from ..ops.chi2 import _TABLE as CHI2_TABLE
 from ..update import cam_helper
+from ..update import lines as line_up
 from ..update import wheel as wheel_up
-from ..update.feature_db import FeatureDatabase
+from ..update.feature_db import FeatureDatabase, LineDatabase
 from . import ekf, propagator
 from .layout import StateLayout
 from .state import FilterState, make_state, oldest_clone_slot
@@ -50,6 +52,7 @@ class VioSystem:
         self.initialized = False
         self.imu_buf = propagator.ImuBuffer()
         self.fdb = FeatureDatabase()
+        self.ldb = LineDatabase()
         self.pending_frames: deque = deque()
         self.gravity = jnp.array([0.0, 0.0, op.gravity_mag], dtype=F64)
         self.sigmas = (op.imu.sigma_w, op.imu.sigma_a, op.imu.sigma_wb, op.imu.sigma_ab)
@@ -61,7 +64,8 @@ class VioSystem:
         self.last_wheel_clone_t = None
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
-                      "wheel_accept": 0, "wheel_reject": 0}
+                      "wheel_accept": 0, "wheel_reject": 0,
+                      "line_accept": 0, "line_reject": 0}
         self.traj: list = []  # (t, q_GtoI, p_IinG) at clone times
 
     # ------------------------------------------------------------------
@@ -116,8 +120,9 @@ class VioSystem:
             return
         self._process_pending()
 
-    def feed_camera(self, t, ids, uvs):
-        """One camera frame of tracked features: persistent ids + raw uv."""
+    def feed_camera(self, t, ids, uvs, line_ids=None, line_segs=None):
+        """One camera frame of tracked features: persistent ids + raw uv, and
+        optionally tracked line segments (ids + raw pixel endpoints (L,4))."""
         uvs = np.atleast_2d(np.asarray(uvs, dtype=np.float64))
         if len(ids) > 0:
             # pad to a fixed batch so the jitted undistort compiles once
@@ -129,6 +134,17 @@ class VioSystem:
             uvns = np.asarray(cam_ops.undistort_radtan(jnp.asarray(uv_pad), k))[:n]
             for fid, uv, uvn in zip(ids, uvs, uvns):
                 self.fdb.update(int(fid), float(t), uv, uvn)
+        if line_ids is not None and len(line_ids) > 0:
+            segs = np.atleast_2d(np.asarray(line_segs, dtype=np.float64))
+            n = len(line_ids)
+            pad = max(self.opts.cam.max_lines, n)
+            ep = np.zeros((2 * pad, 2))
+            ep[: 2 * n] = segs.reshape(-1, 2)
+            k = self.state.cam_k[0]
+            ep_n = np.asarray(cam_ops.undistort_radtan(jnp.asarray(ep), k))[: 2 * n]
+            segs_n = ep_n.reshape(n, 4)
+            for lid, seg, seg_n in zip(line_ids, segs, segs_n):
+                self.ldb.update(int(lid), float(t), seg, seg_n)
         self.pending_frames.append(float(t))
         if self.initialized:
             self._process_pending()
@@ -188,10 +204,13 @@ class VioSystem:
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
             self._msckf_update(t_frame, marg_times)
+            if self.opts.cam.use_lines:
+                self._line_update(t_frame, marg_times)
             if self.opts.wheel.enabled:
                 self._wheel_update()
             self._record_pose()
             self.fdb.cleanup(t_frame - self.opts.window_size - 0.05)
+            self.ldb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
 
     def _propagate_to(self, t_target):
@@ -244,6 +263,117 @@ class VioSystem:
                 np.asarray(self.state.p).copy(),
             )
         )
+
+    # ------------------------------------------------------------------
+    # line update
+    # ------------------------------------------------------------------
+    def _line_update(self, t_frame, marg_times):
+        """MSCKF-style line update (reference: UpdaterCamera::lines_update,
+        UpdaterCamera.cpp:371-464): gather mature/lost line tracks,
+        triangulate, build 2-rows-per-obs distance systems, project out the
+        4-dof line, gate, compress, one EKF update."""
+        op = self.opts.cam
+        st = self.state
+        lo = self.layout
+        clone_valid = np.asarray(st.clone_valid)
+        clone_times = np.asarray(st.clone_t)
+        tmap = {float(clone_times[i]): i for i in np.nonzero(clone_valid)[0]}
+
+        cands = []
+        for lid, tr in list(self.ldb.tracks.items()):
+            n_in = sum(1 for ti in tr.times if ti in tmap)
+            if n_in < 3:
+                continue
+            lost = tr.times[-1] < t_frame
+            hits_marg = any(ti in marg_times for ti in tr.times)
+            if lost or hits_marg:
+                cands.append((n_in, lid))
+        if not cands:
+            return
+        cands.sort(reverse=True)
+        cands = cands[: op.max_lines]
+
+        L = op.max_lines
+        O = lo.n_clones
+        seg_uv = np.zeros((L, O, 4))
+        seg_uvn = np.zeros((L, O, 4))
+        obs_slot = np.zeros((L, O), dtype=np.int32)
+        obs_valid = np.zeros((L, O), dtype=bool)
+        used = []
+        for i, (_, lid) in enumerate(cands):
+            tr = self.ldb.tracks[lid]
+            j = 0
+            for ti, seg, seg_n in zip(tr.times, tr.segs, tr.segs_n):
+                if ti in tmap and j < O:
+                    seg_uv[i, j] = seg
+                    seg_uvn[i, j] = seg_n
+                    obs_slot[i, j] = tmap[ti]
+                    obs_valid[i, j] = True
+                    j += 1
+            used.append(lid)
+
+        obs_slot_j = jnp.asarray(obs_slot)
+        obs_valid_j = jnp.asarray(obs_valid)
+        seg_uvn_j = jnp.asarray(seg_uvn)
+        cq = st.clone_q[obs_slot_j]
+        cp = st.clone_p[obs_slot_j]
+
+        # --- vanishing-point classification per line (first observation) ---
+        q_first = st.clone_q[obs_slot_j[:, 0]]
+        vps, vp_valid = jax.vmap(
+            lambda q: line_up.vanishing_points(q, st.cam_q[0], st.cam_k[0])
+        )(q_first)
+        cls = jax.vmap(
+            lambda s, vp, vv: line_up.classify_lines(s[None], vp, vv)[0]
+        )(jnp.asarray(seg_uv[:, 0, :]), vps, vp_valid)
+
+        # --- triangulation: direction-constrained LS for classified lines,
+        #     two-plane Plücker otherwise ---
+        n2, v2, ok2 = line_up.triangulate_two_plane(
+            seg_uvn_j, cq, cp, obs_valid_j, st.cam_q[0], st.cam_p[0],
+        )[:3]
+        axes = jnp.eye(3, dtype=F64)
+        dir_G = axes[jnp.clip(cls - 1, 0, 2)]
+        nd, vd, okd = line_up.triangulate_direction_ls(
+            seg_uvn_j, cq, cp, obs_valid_j, st.cam_q[0], st.cam_p[0], dir_G,
+        )
+        use_dir = (cls > 0) & okd
+        n_G = jnp.where(use_dir[:, None], nd, n2)
+        v_G = jnp.where(use_dir[:, None], vd, v2)
+        ok = jnp.where(use_dir, okd, ok2)
+
+        Hx, Hl, r, rowmask = line_up.line_systems_batch(
+            n_G, v_G, jnp.asarray(seg_uv), jnp.asarray(obs_slot),
+            jnp.asarray(obs_valid),
+            st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+            st.cam_q[0], st.cam_p[0], st.cam_k[0],
+            lo.n_clones, lo.clone_off, lo.dim,
+        )
+        rowmask = rowmask & ok[:, None]
+        sigma2 = op.sigma_pix_line**2
+        # reprojection-quality gate (line analogue of the reference's
+        # moving-consistency check): mean endpoint distance must be consistent
+        # with the measurement noise
+        absr = jnp.abs(r) * rowmask
+        r_mean = jnp.sum(absr, axis=1) / jnp.maximum(jnp.sum(rowmask, axis=1), 1)
+        rowmask = rowmask & (r_mean < 4.0 * op.sigma_pix_line)[:, None]
+        Hn, rn, rowvalid, line_ok = cam_helper.msckf_project_and_gate(
+            Hx, Hl, r, rowmask, st.cov, sigma2, self.chi2_table, op.chi2_mult,
+        )
+        n_ok = int(jnp.sum(line_ok))
+        self.stats["line_accept"] += n_ok
+        self.stats["line_reject"] += len(cands) - n_ok
+        if n_ok == 0:
+            self.ldb.remove(used)
+            return
+        M = L * Hn.shape[1]
+        Hc, rc, cmask = ekf.measurement_compress(
+            Hn.reshape(M, lo.dim), rn.reshape(M), rowvalid.reshape(M)
+        )
+        self.state = ekf.update(
+            self.state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64), cmask
+        )
+        self.ldb.remove(used)
 
     # ------------------------------------------------------------------
     # wheel update

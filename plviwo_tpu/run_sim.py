@@ -25,6 +25,7 @@ def main(argv=None):
     ap.add_argument("--n-pts", type=float, default=45)
     ap.add_argument("--max-msckf", type=int, default=30)
     ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
+    ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -55,6 +56,10 @@ def main(argv=None):
     opts.cam.min_track_length = 4
     opts.cam.chi2_mult = 5.0
 
+    if args.lines:
+        opts.cam.use_lines = True
+        opts.cam.max_lines = 20
+        opts.cam.sigma_pix_line = 2.0
     if args.wheel:
         opts.wheel.enabled = True
         opts.wheel.type = "Wheel3DAng"
@@ -77,7 +82,12 @@ def main(argv=None):
                          sim.bg_true[0], sim.ba_true[0])
 
     cam_ts = sim.cam_times()
-    cam_iter = iter([(float(t),) + sim.cam_frame(t) for t in cam_ts])
+    if args.lines:
+        cam_iter = iter(
+            [(float(t),) + sim.cam_frame(t) + sim.line_frame(t) for t in cam_ts]
+        )
+    else:
+        cam_iter = iter([(float(t),) + sim.cam_frame(t) for t in cam_ts])
     next_cam = next(cam_iter, None)
     wheel_iter = iter(
         [(float(t),) + sim.wheel_sample(t) for t in sim.wheel_times()]
@@ -91,7 +101,7 @@ def main(argv=None):
             sys_.feed_wheel(*next_wheel)
             next_wheel = next(wheel_iter, None)
         while next_cam is not None and next_cam[0] <= imu_t[i]:
-            sys_.feed_camera(next_cam[0], next_cam[1], next_cam[2])
+            sys_.feed_camera(*next_cam)
             next_cam = next(cam_iter, None)
         sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
     wall = time.time() - t_wall

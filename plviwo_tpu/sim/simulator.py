@@ -88,20 +88,22 @@ class Simulator:
         lo[2] = path[:, 2].min() - 2.0
         self.landmarks = self.rng.uniform(lo, hi, size=(c.n_landmarks, 3))
 
-        # 3-D line field: vertical (z-parallel) and horizontal segments
+        # 3-D line field: Manhattan-world structure (urban-like): half
+        # z-parallel (vertical), a quarter each x-/y-parallel, so the
+        # vanishing-point classifier has honest structure to latch onto
         n_v = c.n_lines // 2
+        n_x = c.n_lines // 4
         starts = self.rng.uniform(lo, hi, size=(c.n_lines, 3))
         dirs = np.zeros((c.n_lines, 3))
         dirs[:n_v] = [0, 0, 1]
-        horiz = self.rng.uniform(-1, 1, size=(c.n_lines - n_v, 2))
-        horiz /= np.linalg.norm(horiz, axis=1, keepdims=True)
-        dirs[n_v:, :2] = horiz
+        dirs[n_v : n_v + n_x] = [1, 0, 0]
+        dirs[n_v + n_x :] = [0, 1, 0]
         lengths = self.rng.uniform(2.0, 8.0, size=(c.n_lines, 1))
         self.line_p1 = starts
         self.line_p2 = starts + dirs * lengths
         self.line_dir_class = np.concatenate(
-            [np.full(n_v, 3), np.full(c.n_lines - n_v, 0)]
-        )  # 3 = z-parallel; horizontal lines get class assigned by VP check
+            [np.full(n_v, 3), np.full(n_x, 1), np.full(c.n_lines - n_v - n_x, 2)]
+        )
 
         # bias random walks sampled on the IMU grid
         n_imu = int((self.t_end - self.t_start) * c.imu_hz) + 1

@@ -240,9 +240,10 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
         rv = rn * m
         S = Hv @ cov @ Hv.T + sigma2 * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
         chi = rv @ solve_psd(S, rv)
-        dof = jnp.maximum(jnp.sum(mask_i) - 3, 1)
+        k = Hf_i.shape[1]  # nuisance dofs projected out (3 = point, 4 = line)
+        dof = jnp.maximum(jnp.sum(mask_i) - k, 1)
         gate = chi2_table[jnp.clip(dof, 1, chi2_table.shape[0] - 1)] * chi2_mult
-        ok = (chi < gate) & (jnp.sum(mask_i) >= 5)
+        ok = (chi < gate) & (jnp.sum(mask_i) >= k + 2)
         # raw-residual pre-gate (reference: per-feature residual norm gate,
         # UpdaterCamera.cpp:242)
         ok &= jnp.max(jnp.abs(r_m)) < 20.0

@@ -30,6 +30,58 @@ class Track:
     to_delete: bool = False
 
 
+@dataclasses.dataclass
+class LineTrack:
+    """Line track record (reference: linefeat/LineFeature.h:22-78)."""
+    lid: int
+    times: list
+    segs: list       # raw pixel endpoints (4,) per obs
+    segs_n: list     # undistorted normalized endpoints (4,)
+    point_ids: list  # attached KLT point ids (latest assignment)
+    D: int = 0       # vanishing-point class: 0 none, 1 x, 2 y, 3 z
+    to_delete: bool = False
+
+
+class LineDatabase:
+    """id -> LineTrack store (reference: LineFeatureDatabase.h:18-104)."""
+
+    def __init__(self):
+        self.tracks: dict[int, LineTrack] = {}
+
+    def update(self, lid: int, t: float, seg, seg_n, point_ids=(), D: int = 0):
+        tr = self.tracks.get(lid)
+        if tr is None:
+            tr = LineTrack(lid=lid, times=[], segs=[], segs_n=[], point_ids=[])
+            self.tracks[lid] = tr
+        tr.times.append(t)
+        tr.segs.append(np.asarray(seg, dtype=np.float64))
+        tr.segs_n.append(np.asarray(seg_n, dtype=np.float64))
+        tr.point_ids = list(point_ids)
+        if D:
+            tr.D = D
+
+    def cleanup(self, t_min: float):
+        dead = []
+        for lid, tr in self.tracks.items():
+            keep = [i for i, ti in enumerate(tr.times) if ti >= t_min]
+            if not keep or tr.to_delete:
+                dead.append(lid)
+                continue
+            if len(keep) != len(tr.times):
+                tr.times = [tr.times[i] for i in keep]
+                tr.segs = [tr.segs[i] for i in keep]
+                tr.segs_n = [tr.segs_n[i] for i in keep]
+        for lid in dead:
+            del self.tracks[lid]
+
+    def remove(self, lids):
+        for lid in lids:
+            self.tracks.pop(lid, None)
+
+    def __len__(self):
+        return len(self.tracks)
+
+
 class FeatureDatabase:
     def __init__(self):
         self.tracks: dict[int, Track] = {}

@@ -1,0 +1,328 @@
+"""Line measurement backend (L3).
+
+Rebuild of `PL-VIWO/src/update/cam/linefeat/LineHelper.*` (SURVEY.md 2.3):
+line triangulation (two strategies), the Plücker measurement model with
+endpoint-to-projected-line residuals, and batched FEJ linear systems for the
+EKF line update.
+
+TPU-first design decisions (vs the reference's per-line C++ loops):
+- everything is batched over (L lines x O observations) padded arrays;
+- Jacobians come from `jax.jacfwd` of the residual function evaluated at the
+  FEJ linearization point — replacing the reference's ~200-line hand-derived
+  chain (LineHelper.cpp:893-955) with machine-exact derivatives that XLA
+  fuses into the same kernel as the residual;
+- the line's error state is the 4-dof orthonormal tangent (the reference
+  carries the overparameterized 6-dof Plücker into its nullspace projection;
+  4-dof keeps two extra rows of information per line).
+
+Conventions: clean Plücker (n, v) with n = p x v (see ops/plucker.py); camera
+line measurement = two endpoints in raw pixels (...,4) = [u1 v1 u2 v2].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, plucker
+
+F64 = jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+def _cam_pose(q_clone, p_clone, cam_q, cam_p):
+    R_GtoI = lie.quat_2_rot(q_clone)
+    R_ItoC = lie.quat_2_rot(cam_q)
+    R_GtoC = R_ItoC @ R_GtoI
+    c = p_clone - jnp.einsum("...ji,...j->...i", R_GtoC, cam_p)
+    return R_GtoC, c
+
+
+@partial(jax.jit, static_argnames=())
+def triangulate_two_plane(seg_uvn, obs_q, obs_p, obs_valid, cam_q, cam_p,
+                          parallel_cos=0.99995):
+    """Two-plane Plücker triangulation, batched over lines.
+
+    (Reference: line_single_triangulation + CompoutePlaneFromPoints +
+    ComputeLineFramePlanes, LineHelper.cpp:372-495, 615-650.)
+
+    Args:
+      seg_uvn: (L, O, 4) undistorted normalized endpoints [x1 y1 x2 y2].
+      obs_q/obs_p: (L, O, 4/3) clone poses per observation.
+      obs_valid: (L, O) bool.
+    Returns:
+      n_G (L,3), v_G (L,3), ok (L,).
+    """
+    R_GtoC, c = _cam_pose(obs_q, obs_p, cam_q, cam_p)  # (L,O,3,3), (L,O,3)
+    R_CtoG = jnp.swapaxes(R_GtoC, -1, -2)
+
+    # plane through the two endpoint rays and the camera center, in G:
+    # normal a = (R^T d1) x (R^T d2), offset d = -a . c
+    d1 = jnp.concatenate([seg_uvn[..., 0:2], jnp.ones_like(seg_uvn[..., :1])], -1)
+    d2 = jnp.concatenate([seg_uvn[..., 2:4], jnp.ones_like(seg_uvn[..., :1])], -1)
+    d1G = jnp.einsum("...ij,...j->...i", R_CtoG, d1)
+    d2G = jnp.einsum("...ij,...j->...i", R_CtoG, d2)
+    a = jnp.cross(d1G, d2G)
+    a_norm = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    a = a / jnp.maximum(a_norm, 1e-12)
+    d = -jnp.sum(a * c, axis=-1)  # (L,O)
+
+    # anchor = first valid observation (we use index 0; host orders obs)
+    a0 = a[:, 0, :]  # (L,3)
+    d0 = d[:, 0]
+
+    # pairwise intersection with every other obs plane
+    v_pair = jnp.cross(a[:, 1:, :], a0[:, None, :])  # (L,O-1,3)  v = a1 x a0
+    n_pair = d[:, 1:, None] * a0[:, None, :] - d0[:, None, None] * a[:, 1:, :]
+
+    # reject near-parallel plane pairs and invalid obs.  NOTE: the reference
+    # uses cos >= 0.99 (LineHelper.cpp:625-650) which at sub-10 m/s platform
+    # speeds rejects nearly every pair (dihedral angle ~ baseline/depth); we
+    # keep a much looser cutoff and rely on the reprojection-quality gate +
+    # chi2 to kill weak-geometry lines.
+    cosang = jnp.abs(jnp.sum(a[:, 1:, :] * a0[:, None, :], axis=-1))
+    pair_ok = (cosang < parallel_cos) & obs_valid[:, 1:] & obs_valid[:, 0:1]
+
+    # sign-align pairs to the first valid pair before averaging
+    v_norm = jnp.linalg.norm(v_pair, axis=-1, keepdims=True)
+    v_unit = v_pair / jnp.maximum(v_norm, 1e-12)
+    ref = v_unit[:, 0:1, :]
+    sign = jnp.where(jnp.sum(v_unit * ref, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    w = pair_ok[..., None].astype(seg_uvn.dtype)
+    v_sum = jnp.sum(v_pair * sign * w, axis=1)
+    n_sum = jnp.sum(n_pair * sign * w, axis=1)
+    count = jnp.maximum(jnp.sum(pair_ok, axis=1), 1)
+
+    v_G = v_sum / jnp.maximum(jnp.linalg.norm(v_sum, axis=-1, keepdims=True), 1e-12)
+    # scale n consistently with the unit direction: n/|v| from the average
+    scale = jnp.maximum(jnp.linalg.norm(v_sum, axis=-1, keepdims=True), 1e-12)
+    n_G = n_sum / scale
+
+    ok = (jnp.sum(pair_ok, axis=1) >= 1) & (jnp.linalg.norm(v_sum, axis=-1) > 1e-9)
+    return n_G, v_G, ok, count
+
+
+@jax.jit
+def triangulate_direction_ls(seg_uvn, obs_q, obs_p, obs_valid, cam_q, cam_p,
+                             direction_G):
+    """Constrained least-squares triangulation for a *classified* line.
+
+    Goes beyond the reference's single-attached-point moment seed
+    (LineHelper.cpp:231-293): with the world direction v known from the
+    vanishing-point class, every observation's back-projected plane (a_i, d_i)
+    gives one linear constraint on the moment n:
+
+        plane contains line  =>  n . (a_i x v) = -d_i,   plus  n . v = 0.
+
+    Solving the 3x3 normal equations over all observations uses the full
+    track and removes the ill-conditioned direction dof entirely.
+
+    Args (batched over L): seg_uvn (L,O,4), obs_q/p, obs_valid (L,O),
+    direction_G (L,3) unit world directions.
+    Returns n_G (L,3), v_G (L,3), ok (L,).
+    """
+    R_GtoC, c = _cam_pose(obs_q, obs_p, cam_q, cam_p)
+    R_CtoG = jnp.swapaxes(R_GtoC, -1, -2)
+    d1 = jnp.concatenate([seg_uvn[..., 0:2], jnp.ones_like(seg_uvn[..., :1])], -1)
+    d2 = jnp.concatenate([seg_uvn[..., 2:4], jnp.ones_like(seg_uvn[..., :1])], -1)
+    d1G = jnp.einsum("...ij,...j->...i", R_CtoG, d1)
+    d2G = jnp.einsum("...ij,...j->...i", R_CtoG, d2)
+    a = jnp.cross(d1G, d2G)
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    d = -jnp.sum(a * c, axis=-1)  # (L,O)
+
+    v = direction_G / jnp.maximum(
+        jnp.linalg.norm(direction_G, axis=-1, keepdims=True), 1e-12
+    )
+    rows = jnp.cross(a, v[:, None, :])  # (L,O,3)
+    w = obs_valid[..., None].astype(seg_uvn.dtype)
+    A = jnp.einsum("loi,loj->lij", rows * w, rows * w)
+    b = jnp.einsum("loi,lo->li", rows * w, -d * obs_valid)
+    # constraint n.v = 0 with strong weight
+    A = A + 100.0 * v[:, :, None] * v[:, None, :]
+    from ..ops.linalg import solve3x3
+
+    n = solve3x3(A + 1e-9 * jnp.eye(3, dtype=A.dtype), b)
+    ok = (jnp.sum(obs_valid, axis=1) >= 2) & jnp.all(jnp.isfinite(n), axis=-1)
+    return n, v, ok
+
+
+def triangulate_from_direction(direction_G, point_G):
+    """Classified-line triangulation: known world direction + one attached
+    triangulated point (reference: line_triangulation_from_points_and_direction,
+    LineHelper.cpp:231-293).  n = p x d."""
+    d = direction_G / jnp.maximum(
+        jnp.linalg.norm(direction_G, axis=-1, keepdims=True), 1e-12
+    )
+    n = jnp.cross(point_G, d)
+    return n, d
+
+
+# ---------------------------------------------------------------------------
+# measurement model + batched linear systems
+# ---------------------------------------------------------------------------
+
+def _line_residual(n_G, v_G, q_clone, p_clone, cam_q, cam_p, cam_k, seg_uv):
+    """Residual (2,) for one observation: distances of both measured endpoints
+    from the projected line (reference: LineHelper.cpp:867-877)."""
+    R_GtoC, c = _cam_pose(q_clone, p_clone, cam_q, cam_p)
+    n_C, _ = plucker.transform(n_G, v_G, R_GtoC, c)
+    l = plucker.project(n_C, cam_k)
+    dist1 = plucker.point_line_distance(seg_uv[0:2], l)
+    dist2 = plucker.point_line_distance(seg_uv[2:4], l)
+    return jnp.stack([dist1, dist2])
+
+
+def _line_system_single(
+    n_G, v_G, seg_uv, obs_slot, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, n_clones, clone_off, D,
+):
+    """Linear system for one line: Hx (2O, D), Hl (2O, 4), r (2O,), mask."""
+    O = seg_uv.shape[0]
+    q_cl = clone_q[obs_slot]
+    p_cl = clone_p[obs_slot]
+    q_fe = clone_q_fej[obs_slot]
+    p_fe = clone_p_fej[obs_slot]
+
+    # residual at current estimates (z = 0: measured distance should be 0)
+    res = -jax.vmap(
+        lambda q, p, s: _line_residual(n_G, v_G, q, p, cam_q, cam_p, cam_k, s)
+    )(q_cl, p_cl, seg_uv)  # r = 0 - h(x)
+
+    # Jacobians at FEJ via jacfwd on (pose-tangent(6), line-tangent(4))
+    def h(dx6, d4, q, p, s):
+        dq = lie.quat_norm(
+            jnp.concatenate([0.5 * dx6[0:3], jnp.ones(1, dtype=F64)])
+        )
+        qq = lie.quat_multiply(dq, q)
+        pp = p + dx6[3:6]
+        n2, v2 = plucker.apply_orthonormal_delta(n_G, v_G, d4)
+        return _line_residual(n2, v2, qq, pp, cam_q, cam_p, cam_k, s)
+
+    z6 = jnp.zeros(6, dtype=F64)
+    z4 = jnp.zeros(4, dtype=F64)
+    Jp = jax.vmap(
+        lambda q, p, s: jax.jacfwd(h, argnums=0)(z6, z4, q, p, s)
+    )(q_fe, p_fe, seg_uv)  # (O,2,6)
+    Jl = jax.vmap(
+        lambda q, p, s: jax.jacfwd(h, argnums=1)(z6, z4, q, p, s)
+    )(q_fe, p_fe, seg_uv)  # (O,2,4)
+    # res = z - h => dres/dx = -dh/dx... but as in the point path the system
+    # is r = H dx + n with H = +dh/dx
+    H_pose = Jp
+    Hl = Jl.reshape(2 * O, 4)
+
+    onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=F64)  # (O,C)
+    Hc = (onehot[:, None, :, None] * H_pose[:, :, None, :]).reshape(O, 2, -1)
+    Hx = jnp.zeros((O, 2, D), dtype=F64)
+    Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
+    Hx = Hx.reshape(2 * O, D)
+    rowmask = jnp.repeat(obs_valid, 2)
+    return Hx, Hl, res.reshape(-1), rowmask
+
+
+@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D"))
+def line_systems_batch(
+    n_G, v_G, seg_uv, obs_slot, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, n_clones: int, clone_off: int, D: int,
+):
+    return jax.vmap(
+        lambda n, v, s, sl, va: _line_system_single(
+            n, v, s, sl, va, clone_q, clone_p, clone_q_fej, clone_p_fej,
+            cam_q, cam_p, cam_k, n_clones, clone_off, D,
+        )
+    )(n_G, v_G, seg_uv, obs_slot, obs_valid)
+
+
+# ---------------------------------------------------------------------------
+# vanishing points + classification (TrackLSD geometry, device-side)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def vanishing_points(q_GtoI, cam_q, cam_k):
+    """Pixel-space vanishing points of the world x/y/z axes.
+
+    (Reference: LineHelper::Vanishing_Points, LineHelper.cpp:1026-1056 — there
+    with a radtan distortion applied; we keep the undistorted pinhole VP since
+    classification operates on undistorted segments here.)
+    Returns (3, 2) pixel coords (may be far outside the image) and a (3,)
+    validity mask (axis not ~parallel to the image plane).
+    """
+    R_GtoC = lie.quat_2_rot(cam_q) @ lie.quat_2_rot(q_GtoI)
+    axes = jnp.eye(3, dtype=q_GtoI.dtype)
+    dirs = (R_GtoC @ axes.T).T  # (3,3): world axis k in camera coords
+    z = dirs[:, 2]
+    valid = jnp.abs(z) > 1e-3
+    z_safe = jnp.where(valid, z, 1.0)
+    zn = dirs[:, 0:2] / z_safe[:, None]
+    fx, fy, cx, cy = cam_k[0], cam_k[1], cam_k[2], cam_k[3]
+    uv = jnp.stack([fx * zn[:, 0] + cx, fy * zn[:, 1] + cy], axis=-1)
+    return uv, valid
+
+
+@jax.jit
+def classify_lines(seg_uv, vps, vp_valid, dist_thresh=5.0, ang_thresh=0.35):
+    """Classify each segment against the vanishing points.
+
+    A segment belongs to world-axis k if the line through VP_k and the segment
+    midpoint passes near the segment (distance of midpoint from the
+    VP-to-endpoint line <= dist_thresh) and the angular difference of the
+    directions <= ang_thresh (reference: LineClass/LineClassification,
+    TrackLSD.cpp:318-366).  Returns (L,) int32 in {0 (none), 1 (x), 2 (y),
+    3 (z)}.
+    """
+    p1 = seg_uv[..., 0:2]
+    p2 = seg_uv[..., 2:4]
+    mid = 0.5 * (p1 + p2)
+    seg_dir = p2 - p1
+    seg_ang = jnp.arctan2(seg_dir[..., 1], seg_dir[..., 0])
+
+    def score(vp, valid):
+        vp_dir = mid - vp[None, :]
+        vp_ang = jnp.arctan2(vp_dir[..., 1], vp_dir[..., 0])
+        dang = jnp.abs(jnp.arctan2(jnp.sin(seg_ang - vp_ang), jnp.cos(seg_ang - vp_ang)))
+        dang = jnp.minimum(dang, jnp.pi - dang)
+        # midpoint distance from the infinite line through vp with direction
+        # seg_dir: equivalently endpoint distance from vp->mid line
+        n = jnp.stack([-vp_dir[..., 1], vp_dir[..., 0]], -1)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        d_end = jnp.abs(jnp.sum((p1 - mid) * n, axis=-1))
+        ok = (dang < ang_thresh) & (d_end < dist_thresh) & valid
+        return jnp.where(ok, dang, jnp.inf)
+
+    scores = jnp.stack(
+        [score(vps[k], vp_valid[k]) for k in range(3)], axis=-1
+    )  # (L,3)
+    best = jnp.argmin(scores, axis=-1)
+    none = ~jnp.isfinite(jnp.min(scores, axis=-1))
+    return jnp.where(none, 0, best + 1).astype(jnp.int32)
+
+
+@jax.jit
+def assign_points_to_lines(seg_uv, pts_uv, pts_valid, dist_thresh=5.0, margin=5.0):
+    """Batched point-to-line assignment (reference: AssignPointToLines,
+    TrackLSD.cpp:744-792): a point attaches to a segment if it lies within the
+    segment's bounding box (+margin) and its perpendicular distance to the
+    segment line is <= dist_thresh.
+
+    Returns (L, P) bool assignment matrix.
+    """
+    p1 = seg_uv[:, None, 0:2]
+    p2 = seg_uv[:, None, 2:4]
+    q = pts_uv[None, :, :]
+    lo = jnp.minimum(p1, p2) - margin
+    hi = jnp.maximum(p1, p2) + margin
+    inbox = jnp.all((q >= lo) & (q <= hi), axis=-1)
+    d = p2 - p1
+    L2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-9)
+    t = jnp.sum((q - p1) * d, axis=-1) / L2
+    perp = q - (p1 + t[..., None] * d)
+    dist = jnp.linalg.norm(perp, axis=-1)
+    return inbox & (dist <= dist_thresh) & pts_valid[None, :]
