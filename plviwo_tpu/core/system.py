@@ -26,6 +26,7 @@ from ..ops import cam as cam_ops
 from ..ops import lie
 from ..ops.chi2 import _TABLE as CHI2_TABLE
 from ..update import cam_helper
+from ..update import gps as gps_up
 from ..update import lines as line_up
 from ..update import wheel as wheel_up
 from ..update.feature_db import FeatureDatabase, LineDatabase
@@ -62,6 +63,12 @@ class VioSystem:
         self.wheel_buf = wheel_up.WheelBuffer()
         self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
         self.last_wheel_clone_t = None
+        # gps
+        self.gps = (
+            gps_up.GpsUpdater(op.gps, self.layout, CHI2_TABLE)
+            if op.gps.enabled else None
+        )
+        self._last_kf_pos = None
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
                       "wheel_accept": 0, "wheel_reject": 0,
@@ -149,6 +156,45 @@ class VioSystem:
         if self.initialized:
             self._process_pending()
 
+    def feed_gps(self, t, lat, lon, alt):
+        """One geodetic GNSS fix (reference: feed_measurement_gps,
+        SystemManager.cpp:139-170 — datum at first fix, ENU conversion)."""
+        if self.gps is None:
+            return
+        self.gps.feed_geodetic(t, lat, lon, alt)
+        self._gps_keyframe()
+
+    def feed_gps_enu(self, t, p_enu):
+        """One GNSS fix already in a local ENU frame (simulation path)."""
+        if self.gps is None:
+            return
+        self.gps.feed_enu(t, p_enu)
+        self._gps_keyframe()
+
+    def _gps_keyframe(self):
+        """Pre-init keyframe marking: pin the newest clone so it survives
+        marginalization until 4-DoF alignment completes (reference:
+        add_keyframes, UpdaterGPS.cpp:29-58)."""
+        if self.gps.initialized or not self.initialized:
+            return
+        st = self.state
+        valid = np.asarray(st.clone_valid)
+        if not valid.any() or int(np.asarray(st.clone_keyframe).sum()) >= 5:
+            return
+        from .state import newest_clone_slot
+
+        slot = int(newest_clone_slot(st))
+        pos = np.asarray(st.clone_p[slot])
+        if (
+            self._last_kf_pos is None
+            or np.linalg.norm(pos - self._last_kf_pos)
+            >= self.opts.gps.keyframe_min_distance
+        ):
+            self.state = st.replace(
+                clone_keyframe=st.clone_keyframe.at[slot].set(True)
+            )
+            self._last_kf_pos = pos
+
     def feed_wheel(self, t, m1, m2):
         """One wheel sample: (m1, m2) = (left, right) rates/velocities, or
         (omega, v) for the *Cen types (reference: WheelData.m1/m2)."""
@@ -209,6 +255,15 @@ class VioSystem:
             if self.opts.wheel.enabled:
                 self._wheel_update()
             self._record_pose()
+            if self.gps is not None:
+                was_init = self.gps.initialized
+                self.gps.try_process(self)
+                if self.gps.initialized and not was_init:
+                    # alignment done: release keyframes (reference:
+                    # SystemManager.cpp:164-168)
+                    self.state = self.state.replace(
+                        clone_keyframe=jnp.zeros_like(self.state.clone_keyframe)
+                    )
             self.fdb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.ldb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
@@ -237,7 +292,8 @@ class VioSystem:
         t_min = t_now - self.opts.window_size
         valid = np.asarray(st.clone_valid)
         times = np.asarray(st.clone_t)
-        for slot in np.nonzero(valid & (times < t_min))[0]:
+        keyframe = np.asarray(st.clone_keyframe)
+        for slot in np.nonzero(valid & ~keyframe & (times < t_min))[0]:
             self.state = ekf.marginalize_clone(self.state, int(slot))
         if int(jnp.sum(self.state.clone_valid)) >= self.layout.n_clones:
             self.state = ekf.marginalize_clone(self.state, oldest_clone_slot(self.state))
