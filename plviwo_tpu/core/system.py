@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.options import EstimatorOptions
+from ..init.imu_wheel import IwInitializer
 from ..init.static_imu import try_static_init
 from ..ops import cam as cam_ops
 from ..ops import lie
@@ -63,6 +64,7 @@ class VioSystem:
         self.wheel_buf = wheel_up.WheelBuffer()
         self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
         self.last_wheel_clone_t = None
+        self._iw_init = None
         # gps
         self.gps = (
             gps_up.GpsUpdater(op.gps, self.layout, CHI2_TABLE)
@@ -218,11 +220,36 @@ class VioSystem:
         op = self.opts
         if len(self.imu_buf.t) < 20:
             return
-        res = try_static_init(
-            self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
-            op.init.window_time, op.init.imu_thresh, op.gravity_mag,
-            require_excitation=False,
-        )
+        if op.wheel.enabled and not op.init.imu_only_init:
+            # IMU+wheel initializer (static or Dong-Si dynamic path)
+            if self._iw_init is None:
+                from ..ops import lie as _lie
+
+                R_OtoI = np.asarray(_lie.quat_2_rot(self.state.wheel_q)).T
+                p_IinO = np.asarray(self.state.wheel_p)
+                self._iw_init = IwInitializer(
+                    gravity_mag=op.gravity_mag, threshold=0.5,
+                    window_time=op.init.window_time,
+                    R_OtoI=R_OtoI, p_IinO=p_IinO,
+                    toff=float(self.state.wheel_dt),
+                    gravity_aligned=op.init.imu_gravity_aligned,
+                )
+            if len(self.wheel_buf.t) < 5:
+                return
+            W, V = wheel_up.wv_stack_np(
+                self.wheel_buf.m1, self.wheel_buf.m2,
+                np.asarray(self.state.wheel_k), self.wheel_type,
+            )
+            res = self._iw_init.try_init(
+                self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+                self.wheel_buf.t, W, V,
+            )
+        else:
+            res = try_static_init(
+                self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+                op.init.window_time, op.init.imu_thresh, op.gravity_mag,
+                require_excitation=False,
+            )
         if res is None:
             return
         q = lie.rot_2_quat(jnp.asarray(res["R_GtoI"]))

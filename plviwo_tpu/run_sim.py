@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--max-msckf", type=int, default=30)
     ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
+    ap.add_argument("--auto-init", action="store_true",
+                    help="use the IMU(+wheel) initializer instead of ground-truth seeding")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -76,10 +78,11 @@ def main(argv=None):
                                    [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
 
     imu_t, imu_w, imu_a = sim.imu_stream()
-    kin0 = sim.gt_kin(imu_t[0])
-    q0 = lie.rot_2_quat(kin0["R_GtoI"])
-    sys_.initialize_from(float(imu_t[0]), q0, kin0["p_IinG"], kin0["v_IinG"],
-                         sim.bg_true[0], sim.ba_true[0])
+    if not args.auto_init:
+        kin0 = sim.gt_kin(imu_t[0])
+        q0 = lie.rot_2_quat(kin0["R_GtoI"])
+        sys_.initialize_from(float(imu_t[0]), q0, kin0["p_IinG"], kin0["v_IinG"],
+                             sim.bg_true[0], sim.ba_true[0])
 
     cam_ts = sim.cam_times()
     if args.lines:
@@ -106,12 +109,27 @@ def main(argv=None):
         sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
     wall = time.time() - t_wall
 
-    errs = []
-    for t, q, p in sys_.traj:
-        kin = sim.gt_kin(t)
-        errs.append(np.linalg.norm(p - np.asarray(kin["p_IinG"])))
-    errs = np.asarray(errs)
-    rmse = float(np.sqrt(np.mean(errs**2))) if len(errs) else float("nan")
+    if len(sys_.traj) >= 3:
+        from .eval.metrics import ate
+        from .ops import lie as _lie
+
+        t_e = np.asarray([t for t, _, _ in sys_.traj])
+        p_e = np.asarray([p for _, _, p in sys_.traj])
+        q_e = np.asarray([q for _, q, _ in sys_.traj])
+        p_g, q_g = [], []
+        for t in t_e:
+            kin = sim.gt_kin(t)
+            p_g.append(np.asarray(kin["p_IinG"]))
+            q_g.append(np.asarray(_lie.rot_2_quat(kin["R_GtoI"])))
+        method = "posyaw" if args.auto_init else "none"
+        res = ate(t_e, p_e, q_e, t_e, np.asarray(p_g), np.asarray(q_g),
+                  method=method)
+        rmse = res["pos"]["rmse"]
+        final_err = res["pos"]["max"]
+        errs = [rmse]
+    else:
+        rmse = float("nan")
+        errs = []
 
     if args.out:
         with open(args.out, "w") as f:
@@ -129,7 +147,7 @@ def main(argv=None):
     summary = {
         "frames": len(sys_.traj),
         "ate_rmse_m": round(rmse, 4) if math.isfinite(rmse) else None,
-        "final_err_m": round(float(errs[-1]), 4) if len(errs) else None,
+        "max_err_m": round(float(final_err), 4) if len(errs) else None,
         "updates": sys_.stats["updates"],
         "accept_rate": round(
             sys_.stats["cam_accept"]

@@ -53,6 +53,27 @@ def _wv_from_meas(m1, m2, intr, type_code: int):
     return w, v
 
 
+def wv_stack_np(m1, m2, intr, type_code: int):
+    """Host helper: convert raw samples to odometry-frame (w (N,3), v (N,3))
+    for the initializer (only w_z / v_x observable)."""
+    rl, rr, b = intr
+    m1 = np.asarray(m1)
+    m2 = np.asarray(m2)
+    if type_code in (W2D_ANG, W3D_ANG):
+        w = (m2 * rr - m1 * rl) / b
+        v = (m2 * rr + m1 * rl) / 2.0
+    elif type_code in (W2D_LIN, W3D_LIN):
+        w = (m2 - m1) / b
+        v = (m2 + m1) / 2.0
+    else:
+        w, v = m1, m2
+    W = np.zeros((len(m1), 3))
+    V = np.zeros((len(m1), 3))
+    W[:, 2] = w
+    V[:, 0] = v
+    return W, V
+
+
 @partial(jax.jit, static_argnames=("type_code",))
 def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: int):
     """3D RK4 preintegration over a padded stack (reference: preintegration_3D,
