@@ -1,0 +1,252 @@
+"""Batched KLT front-end kernels (L1): grid detection + pyramidal LK.
+
+Rebuild of `ov_core::TrackKLT`'s per-pixel OpenCV loops
+(`track/TrackKLT.cpp:395-528` grid-FAST detection, `:829-886` pyramidal LK +
+RANSAC gate) as fixed-shape batched XLA programs:
+
+- detection: Shi-Tomasi response -> per-grid-cell argmax (occupancy-aware)
+  -> top-off to N points (`detect_grid`);
+- tracking: inverse-compositional pyramidal Lucas-Kanade over all features at
+  once (`pyramidal_lk`) — each iteration is a batched 15x15 gather + a 2x2
+  solve, fixed iteration counts, validity masks instead of early exits;
+- RANSAC: batched 8-point fundamental-matrix hypotheses with inlier voting
+  (`ransac_fundamental`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .image import bilinear_sample, build_pyramid, gradients, shi_tomasi_score
+from .linalg import solve3x3  # noqa: F401  (used by callers)
+
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# detection
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "n_max", "min_px_dist"))
+def detect_grid(img, occupied_uv, occupied_valid, grid_x: int, grid_y: int,
+                n_max: int, min_score: float = 1e-4, min_px_dist: float = 8.0):
+    """Grid-bucketed corner detection with occupancy suppression.
+
+    Args:
+      img: (H, W) f32.
+      occupied_uv: (M, 2) existing feature locations (masked by
+        occupied_valid) — new detections keep min_px_dist away.
+    Returns:
+      uv (n_max, 2), valid (n_max,) — the best corner per cell, strongest
+      cells first, suppressed near existing features.
+    """
+    H, W = img.shape
+    score = shi_tomasi_score(img)
+    # border suppression
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    b = 8
+    score = jnp.where((xx < b) | (xx >= W - b) | (yy < b) | (yy >= H - b),
+                      -1.0, score)
+
+    # occupancy: zero score near existing features
+    occ = jnp.zeros((H, W), dtype=bool)
+    m = occupied_valid
+    ou = jnp.clip(occupied_uv[:, 0].astype(jnp.int32), 0, W - 1)
+    ov = jnp.clip(occupied_uv[:, 1].astype(jnp.int32), 0, H - 1)
+    occ = occ.at[ov, ou].max(m)
+    # dilate occupancy by min_px_dist via max pooling
+    k = int(min_px_dist)
+    occ_f = jax.lax.reduce_window(
+        occ.astype(F32), jnp.float32(0.0), jax.lax.max,
+        (2 * k + 1, 2 * k + 1), (1, 1), "SAME",
+    )
+    score = jnp.where(occ_f > 0, -1.0, score)
+
+    # per-cell argmax
+    ch = H // grid_y
+    cw = W // grid_x
+    sc = score[: ch * grid_y, : cw * grid_x].reshape(grid_y, ch, grid_x, cw)
+    sc = sc.transpose(0, 2, 1, 3).reshape(grid_y * grid_x, ch * cw)
+    cell_best = jnp.argmax(sc, axis=1)
+    cell_score = jnp.max(sc, axis=1)
+    cy = cell_best // cw
+    cx = cell_best % cw
+    gy = jnp.arange(grid_y * grid_x) // grid_x
+    gx = jnp.arange(grid_y * grid_x) % grid_x
+    u = (gx * cw + cx).astype(F32)
+    v = (gy * ch + cy).astype(F32)
+
+    # subpixel refinement: 1-D quadratic fit on the score along each axis
+    # (the cornerSubPix analogue; branch-free)
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    ui_c = jnp.clip(ui, 1, W - 2)
+    vi_c = jnp.clip(vi, 1, H - 2)
+
+    def refine(sc_m, sc_0, sc_p):
+        denom = sc_m - 2.0 * sc_0 + sc_p
+        off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (sc_m - sc_p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    du = refine(score[vi_c, ui_c - 1], score[vi_c, ui_c], score[vi_c, ui_c + 1])
+    dv = refine(score[vi_c - 1, ui_c], score[vi_c, ui_c], score[vi_c + 1, ui_c])
+    u = u + du
+    v = v + dv
+
+    # order cells by score, take n_max
+    order = jnp.argsort(-cell_score)
+    u = u[order][:n_max]
+    v = v[order][:n_max]
+    s = cell_score[order][:n_max]
+    valid = s > min_score
+    return jnp.stack([u, v], axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
+# pyramidal Lucas-Kanade
+# ---------------------------------------------------------------------------
+
+def _lk_level(img_prev, img_next, uv_prev, uv_guess, half: int, iters: int):
+    """One pyramid level of inverse-compositional LK for all features.
+
+    uv_prev: (N,2) template centers in img_prev; uv_guess: (N,2) current
+    estimates in img_next.  Returns (uv (N,2), err (N,), ok (N,)).
+    """
+    W = 2 * half + 1
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(-half, half + 1, dtype=F32),
+                     jnp.arange(-half, half + 1, dtype=F32), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)  # (W^2, 2)
+
+    gx, gy = gradients(img_prev)
+
+    def per_feature_setup(uv):
+        pts = uv[None, :] + offs  # (W^2, 2)
+        T = bilinear_sample(img_prev, pts)
+        Gx = bilinear_sample(gx, pts)
+        Gy = bilinear_sample(gy, pts)
+        # 2x2 normal matrix (inverse compositional: gradients from template)
+        a = jnp.sum(Gx * Gx)
+        bch = jnp.sum(Gx * Gy)
+        c = jnp.sum(Gy * Gy)
+        det = a * c - bch * bch
+        return T, Gx, Gy, a, bch, c, det
+
+    T, Gx, Gy, a, b_, c, det = jax.vmap(per_feature_setup)(uv_prev)
+    good = det > 1e-6
+
+    def body(uv, _):
+        def one(uv_i, T_i, Gx_i, Gy_i, a_i, b_i, c_i, det_i):
+            pts = uv_i[None, :] + offs
+            I = bilinear_sample(img_next, pts)
+            e = I - T_i
+            bx = jnp.sum(Gx_i * e)
+            by = jnp.sum(Gy_i * e)
+            bad = det_i < 1e-8
+            det_s = jnp.where(bad, 1.0, det_i)
+            dx = jnp.where(bad, 0.0, (c_i * bx - b_i * by) / det_s)
+            dy = jnp.where(bad, 0.0, (-b_i * bx + a_i * by) / det_s)
+            return uv_i - jnp.stack([dx, dy])
+
+        uv = jax.vmap(one)(uv, T, Gx, Gy, a, b_, c, det)
+        return uv, None
+
+    uv, _ = jax.lax.scan(body, uv_guess, None, length=iters)
+
+    def final_err(uv_i, T_i):
+        I = bilinear_sample(img_next, uv_i[None, :] + offs)
+        return jnp.mean(jnp.abs(I - T_i))
+
+    err = jax.vmap(final_err)(uv, T)
+    H, Wd = img_next.shape
+    inb = (
+        (uv[:, 0] > half) & (uv[:, 0] < Wd - half - 1)
+        & (uv[:, 1] > half) & (uv[:, 1] < H - half - 1)
+    )
+    return uv, err, good, inb
+
+
+@partial(jax.jit, static_argnames=("levels", "half", "iters"))
+def pyramidal_lk(prev_pyr, next_pyr, uv_prev, valid, levels: int, half: int = 7,
+                 iters: int = 10, max_err: float = 0.08):
+    """Track features from prev to next through the pyramid (coarse->fine).
+
+    prev_pyr/next_pyr: tuples of (H/2^l, W/2^l) images.
+    Returns (uv_next (N,2), ok (N,)).
+    """
+    scale = 2.0 ** (levels - 1)
+    uv = uv_prev / scale
+    ok = valid
+    for l in range(levels - 1, -1, -1):
+        uv_l_prev = uv_prev / (2.0**l)
+        uv, err, good, inb = _lk_level(prev_pyr[l], next_pyr[l], uv_l_prev, uv,
+                                       half, iters)
+        # a degenerate template at a coarse level just leaves the estimate
+        # untouched; only the finest level's conditioning kills the track
+        ok = ok & inb & (good if l == 0 else True)
+        if l > 0:
+            uv = uv * 2.0
+    ok = ok & (err < max_err)
+    return uv, ok
+
+
+# ---------------------------------------------------------------------------
+# RANSAC fundamental-matrix gate
+# ---------------------------------------------------------------------------
+
+def _eight_point(x1, x2):
+    """F from 8+ normalized correspondences (x1, x2: (8, 2))."""
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    A = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
+        axis=-1,
+    )  # (8,9)
+    # nullspace via eigh of A^T A (svd-free; TPU-friendly)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    F = V[:, 0].reshape(3, 3)
+    return F
+
+
+def _epi_dist(F, x1, x2):
+    """Symmetric epipolar distance for correspondences (N,2)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)
+    p2 = jnp.concatenate([x2, ones], -1)
+    l2 = p1 @ F.T  # lines in image 2
+    l1 = p2 @ F
+    num = jnp.abs(jnp.sum(p2 * l2, axis=-1))
+    d2 = num / jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2 + 1e-12)
+    d1 = num / jnp.sqrt(l1[:, 0] ** 2 + l1[:, 1] ** 2 + 1e-12)
+    return jnp.maximum(d1, d2)
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_fundamental(x1, x2, valid, key, n_hyp: int = 64, thresh: float = 2e-3):
+    """Batched-hypothesis RANSAC on the fundamental matrix.
+
+    x1, x2: (N, 2) undistorted *normalized* correspondences; valid (N,).
+    Returns inlier mask (N,).  Mirrors the RANSAC gate of perform_matching
+    (TrackKLT.cpp:829-886) with all hypotheses evaluated in one batch.
+    """
+    N = x1.shape[0]
+    idx = jax.random.randint(key, (n_hyp, 8), 0, N)
+    # bias sampling toward valid entries: resample invalid picks to first valid
+    first_valid = jnp.argmax(valid)
+    idx = jnp.where(valid[idx], idx, first_valid)
+
+    def one(hyp_idx):
+        F = _eight_point(x1[hyp_idx], x2[hyp_idx])
+        d = _epi_dist(F, x1, x2)
+        inl = (d < thresh) & valid
+        return jnp.sum(inl), inl
+
+    scores, masks = jax.vmap(one)(idx)
+    best = jnp.argmax(scores)
+    ok = scores[best] >= 8
+    return jnp.where(ok, masks[best], valid)

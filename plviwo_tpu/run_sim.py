@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
     ap.add_argument("--auto-init", action="store_true",
                     help="use the IMU(+wheel) initializer instead of ground-truth seeding")
+    ap.add_argument("--images", action="store_true",
+                    help="render frames and run the real KLT front-end "
+                         "(instead of simulator data association)")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -85,7 +88,20 @@ def main(argv=None):
                              sim.bg_true[0], sim.ba_true[0])
 
     cam_ts = sim.cam_times()
-    if args.lines:
+    if args.images:
+        from .update.tracker import KltTracker
+
+        tracker = KltTracker(n_pts=80, cam_k=np.asarray(cfg.intrinsics),
+                             grid_x=12, grid_y=10)
+        opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
+        opts.cam.chi2_mult = 8.0
+
+        def frame_feed(t):
+            ids, uvs = tracker.feed(sim.render_frame(t, with_lines=False))
+            return (float(t), ids, uvs)
+
+        cam_iter = iter([frame_feed(t) for t in cam_ts])
+    elif args.lines:
         cam_iter = iter(
             [(float(t),) + sim.cam_frame(t) + sim.line_frame(t) for t in cam_ts]
         )

@@ -212,6 +212,92 @@ class Simulator:
         seg += self.rng.normal(0, c.sigma_pix_line, seg.shape)
         return ids.astype(np.int64), seg
 
+    def render_frame(self, t, with_lines=True):
+        """Render a synthetic grayscale image (H, W) float32 in [0, 1].
+
+        Landmarks splat as Gaussian blobs (strong corners for the KLT
+        front-end), 3-D line segments draw as dark anti-aliased strokes (for
+        the line detector), over a low-frequency textured background — the
+        image-domain test surface replacing the reference's camera stream.
+        """
+        c = self.cfg
+        H, W = c.height, c.width
+        if not hasattr(self, "_ground_tex"):
+            # smooth multi-octave ground texture (0.25 m/texel, wraps)
+            tex = np.zeros((1024, 1024))
+            for cell, amp in ((64, 0.10), (16, 0.06), (4, 0.03)):
+                coarse = self.rng.uniform(-1, 1, (1024 // cell + 1, 1024 // cell + 1))
+                ys = np.linspace(0, coarse.shape[0] - 1.01, 1024)
+                y0 = ys.astype(int)
+                fy = ys - y0
+                up = (coarse[y0] * (1 - fy)[:, None] + coarse[y0 + 1] * fy[:, None])
+                up2 = (up[:, y0] * (1 - fy)[None, :] + up[:, y0 + 1] * fy[None, :])
+                tex += amp * up2
+            self._ground_tex = 0.45 + tex
+            self._blob_amp = self.rng.uniform(0.3, 0.5, size=c.n_landmarks)
+        ground_z = float(self.landmarks[:, 2].min() - 2.0)
+
+        kin = self.spline.imu_true(t)
+        R_GtoI = np.asarray(kin["R_GtoI"])
+        p_I = np.asarray(kin["p_IinG"])
+        R_ItoC = np.asarray(lie.quat_2_rot(jnp.asarray(c.cam_ext_q, dtype=F64)))
+        p_cam_ext = np.asarray(c.cam_ext_p)
+        R_GtoC = R_ItoC @ R_GtoI
+        cam_center = p_I - R_GtoC.T @ p_cam_ext
+
+        # --- ray-cast the textured ground plane (true 3-D background) ---
+        fx, fy, cx, cy = c.intrinsics[:4]
+        us, vs = np.meshgrid(np.arange(W), np.arange(H))
+        rays_C = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, dtype=float)], -1)
+        rays_G = rays_C @ R_GtoC  # (H,W,3): R_GtoC^T applied to each ray
+        denom = rays_G[..., 2]
+        hit = denom < -1e-6  # looking downward
+        s = np.where(hit, (ground_z - cam_center[2]) / np.where(hit, denom, 1.0), 0.0)
+        gx = cam_center[0] + s * rays_G[..., 0]
+        gy = cam_center[1] + s * rays_G[..., 1]
+        ti = np.mod(gx / 0.25, 1024).astype(int)
+        tj = np.mod(gy / 0.25, 1024).astype(int)
+        img = np.where(hit, self._ground_tex[tj, ti], 0.5)
+
+        # --- project landmarks (noiseless) and splat blobs ---
+        p_C = (R_GtoC @ (self.landmarks - p_I).T).T + p_cam_ext
+        k = jnp.asarray(c.intrinsics, dtype=F64)
+        front = p_C[:, 2] > 0.3
+        uv = np.asarray(cam_ops.project(jnp.asarray(p_C[front]), k, cam_ops.RADTAN))
+        amps = self._blob_amp[front]
+        r = 6
+        for (u, v), a in zip(uv, amps):
+            if not (r < u < W - r - 1 and r < v < H - r - 1):
+                continue
+            iu, iv = int(u), int(v)
+            ys = np.arange(iv - r, iv + r + 1)
+            xs = np.arange(iu - r, iu + r + 1)
+            dy = (ys - v)[:, None]
+            dx = (xs - u)[None, :]
+            img[np.ix_(ys, xs)] += a * np.exp(-(dx**2 + dy**2) / (2 * 1.8**2))
+
+        if with_lines:
+            ids, segs = self.line_frame(t)
+            for seg in segs:
+                self._draw_line(img, seg, depth=0.35)
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+    @staticmethod
+    def _draw_line(img, seg, depth=0.3, width=1.2):
+        H, W = img.shape
+        x1, y1, x2, y2 = seg
+        L = max(np.hypot(x2 - x1, y2 - y1), 1.0)
+        n = int(L * 2)
+        ts = np.linspace(0, 1, n)
+        xs = x1 + (x2 - x1) * ts
+        ys = y1 + (y2 - y1) * ts
+        for x, y in zip(xs, ys):
+            iu, iv = int(round(x)), int(round(y))
+            if 1 <= iu < W - 1 and 1 <= iv < H - 1:
+                img[iv, iu] -= depth
+                img[iv + 1, iu] -= depth * 0.5
+                img[iv, iu + 1] -= depth * 0.5
+
     def wheel_times(self):
         c = self.cfg
         n = int((self.t_end - self.t_start) * c.wheel_hz)
