@@ -1,0 +1,167 @@
+"""Batched line-segment detection (L1).
+
+Replaces the reference's `cv::ximgproc::FastLineDetector` call
+(`TrackLSD.cpp:194-236`, run at half resolution with coords scaled back) with
+a TPU-shaped EDLines-style formulation (SURVEY.md section 7 "hard parts"):
+
+1. Scharr gradients -> magnitude + orientation;
+2. anchor extraction: per-grid-cell strongest gradient pixels;
+3. each anchor *walks* both ways along its level-line direction for a fixed
+   number of steps (a `lax.scan` over all anchors at once), stopping (masked)
+   when gradient support fades or the direction bends;
+4. segments below a length threshold are dropped
+   (`FilterShortLines`, TrackLSD.cpp:435-448);
+5. greedy collinear merge/NMS on the host over the fixed-size candidate set
+   (`MergeLines` semantics, TrackLSD.cpp:450-622).
+
+Fixed shapes + masks throughout; no data-dependent control flow on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .image import bilinear_sample, gauss_blur, gradients
+
+F32 = jnp.float32
+
+
+@partial(jax.jit, static_argnames=("grid", "n_anchors", "max_steps"))
+def detect_segments(img, grid: int = 16, n_anchors: int = 256,
+                    max_steps: int = 160, mag_thresh: float = 0.02,
+                    ang_tol: float = 0.55):
+    """Candidate segments from anchor walks.
+
+    Returns (segs (n_anchors, 4) [x1 y1 x2 y2], strength (n_anchors,),
+    valid (n_anchors,)).
+    """
+    H, W = img.shape
+    # blur first: rasterized/real edges have staircase jogs that rotate the
+    # raw gradient; a smoothed field keeps the level-line direction stable
+    img_s = gauss_blur(gauss_blur(img))
+    gx, gy = gradients(img_s)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+
+    # --- anchors: strongest gradient pixel per grid cell ---
+    ch, cw = H // grid, W // grid
+    m = mag[: ch * grid, : cw * grid].reshape(grid, ch, grid, cw)
+    m = m.transpose(0, 2, 1, 3).reshape(grid * grid, ch * cw)
+    cell_best = jnp.argmax(m, axis=1)
+    cell_mag = jnp.max(m, axis=1)
+    cy = cell_best // cw
+    cx = cell_best % cw
+    gyi = jnp.arange(grid * grid) // grid
+    gxi = jnp.arange(grid * grid) % grid
+    au = (gxi * cw + cx).astype(F32)
+    av = (gyi * ch + cy).astype(F32)
+    order = jnp.argsort(-cell_mag)[:n_anchors]
+    au, av, amag = au[order], av[order], cell_mag[order]
+    anchors = jnp.stack([au, av], -1)  # (A,2)
+
+    # --- level-line direction at each anchor (perpendicular to gradient) ---
+    agx = bilinear_sample(gx, anchors)
+    agy = bilinear_sample(gy, anchors)
+    norm = jnp.sqrt(agx**2 + agy**2)
+    norm = jnp.where(norm < 1e-9, 1.0, norm)
+    # unit direction along the line
+    dline = jnp.stack([-agy / norm, agx / norm], -1)  # (A,2)
+
+    def walk(direction):
+        """March all anchors `max_steps` in `direction`; returns the last
+        valid position per anchor."""
+
+        normal = jnp.stack([-direction[:, 1], direction[:, 0]], -1)
+
+        def body(carry, _):
+            pos, alive, last = carry
+            nxt = pos + direction
+            # re-center on the edge: quadratic fit of the magnitude across the
+            # walk direction (EDLines-style), so accumulated direction error
+            # does not march the walk off the line
+            m_m = bilinear_sample(mag, nxt - normal)
+            m_0 = bilinear_sample(mag, nxt)
+            m_p = bilinear_sample(mag, nxt + normal)
+            denom = m_m - 2.0 * m_0 + m_p
+            off = jnp.where(jnp.abs(denom) > 1e-9,
+                            0.5 * (m_m - m_p) / denom, 0.0)
+            off = jnp.clip(off, -0.75, 0.75)
+            nxt = nxt + off[:, None] * normal
+            mg = bilinear_sample(mag, nxt)
+            gxn = bilinear_sample(gx, nxt)
+            gyn = bilinear_sample(gy, nxt)
+            nn = jnp.sqrt(gxn**2 + gyn**2)
+            nn = jnp.where(nn < 1e-9, 1.0, nn)
+            dn = jnp.stack([-gyn / nn, gxn / nn], -1)
+            # direction agreement (sign-invariant)
+            cosang = jnp.abs(jnp.sum(dn * direction, axis=-1) /
+                             jnp.maximum(jnp.linalg.norm(direction, axis=-1), 1e-9))
+            inb = (
+                (nxt[:, 0] > 2) & (nxt[:, 0] < W - 3)
+                & (nxt[:, 1] > 2) & (nxt[:, 1] < H - 3)
+            )
+            ok = alive & (mg > mag_thresh) & (cosang > jnp.cos(ang_tol)) & inb
+            pos = jnp.where(ok[:, None], nxt, pos)
+            last = jnp.where(ok[:, None], nxt, last)
+            return (pos, ok, last), None
+
+        init = (anchors, jnp.ones(anchors.shape[0], dtype=bool), anchors)
+        (pos, alive, last), _ = jax.lax.scan(body, init, None, length=max_steps)
+        return last
+
+    p_fwd = walk(dline)
+    p_bwd = walk(-dline)
+    segs = jnp.concatenate([p_bwd, p_fwd], axis=-1)  # (A,4)
+    length = jnp.linalg.norm(p_fwd - p_bwd, axis=-1)
+    valid = (amag > mag_thresh) & (length >= 2.0)
+    return segs, length, valid
+
+
+def merge_segments(segs, lengths, valid, min_length=25.0, ang_tol=0.08,
+                   dist_tol=3.0):
+    """Host-side greedy collinear NMS over the fixed candidate set.
+
+    Keeps the longest segment of each collinear cluster (MergeLines
+    semantics).  Returns (segs (K,4) np.ndarray).
+    """
+    segs = np.asarray(segs, dtype=np.float64)
+    lengths = np.asarray(lengths)
+    valid = np.asarray(valid) & (lengths >= min_length)
+    order = np.argsort(-lengths)
+    kept: list[int] = []
+    for i in order:
+        if not valid[i]:
+            continue
+        x1, y1, x2, y2 = segs[i]
+        d = np.array([x2 - x1, y2 - y1])
+        L = np.linalg.norm(d)
+        if L < 1e-6:
+            continue
+        d = d / L
+        n = np.array([-d[1], d[0]])
+        dup = False
+        for j in kept:
+            xa, ya, xb, yb = segs[j]
+            dj = np.array([xb - xa, yb - ya])
+            Lj = np.linalg.norm(dj)
+            dj = dj / max(Lj, 1e-6)
+            if abs(d @ dj) < np.cos(ang_tol):
+                continue
+            mid = np.array([(x1 + x2) / 2 - xa, (y1 + y2) / 2 - ya])
+            nj = np.array([-dj[1], dj[0]])
+            if abs(mid @ nj) > dist_tol:
+                continue
+            # collinear: check longitudinal overlap/closeness
+            t1 = (np.array([x1 - xa, y1 - ya]) @ dj)
+            t2 = (np.array([x2 - xa, y2 - ya]) @ dj)
+            lo, hi = min(t1, t2), max(t1, t2)
+            if hi < -10.0 or lo > Lj + 10.0:
+                continue
+            dup = True
+            break
+        if not dup:
+            kept.append(i)
+    return segs[kept] if kept else np.zeros((0, 4))

@@ -95,9 +95,19 @@ def main(argv=None):
                              grid_x=12, grid_y=10)
         opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
         opts.cam.chi2_mult = 8.0
+        ltracker = None
+        if args.lines:
+            from .update.line_tracker import LineTracker
+
+            ltracker = LineTracker(max_lines=opts.cam.max_lines, min_length=30.0)
+            opts.cam.sigma_pix_line = 2.5
 
         def frame_feed(t):
-            ids, uvs = tracker.feed(sim.render_frame(t, with_lines=False))
+            img = sim.render_frame(t, with_lines=args.lines)
+            ids, uvs = tracker.feed(img)
+            if ltracker is not None:
+                lids, segs = ltracker.feed(img, ids, uvs)
+                return (float(t), ids, uvs, lids, segs)
             return (float(t), ids, uvs)
 
         cam_iter = iter([frame_feed(t) for t in cam_ts])

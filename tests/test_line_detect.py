@@ -1,0 +1,94 @@
+"""Line detector + tracker tests on rendered imagery."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plviwo_tpu.ops import line_detect
+from plviwo_tpu.sim.simulator import SimConfig, Simulator
+from plviwo_tpu.update.line_tracker import LineTracker
+from plviwo_tpu.update.tracker import KltTracker
+
+
+def _line_image(H, W, segs, depth=0.4):
+    img = np.full((H, W), 0.5, dtype=np.float32)
+    for x1, y1, x2, y2 in segs:
+        n = int(max(abs(x2 - x1), abs(y2 - y1)) * 2)
+        for t in np.linspace(0, 1, n):
+            x = x1 + (x2 - x1) * t
+            y = y1 + (y2 - y1) * t
+            iu, iv = int(round(x)), int(round(y))
+            if 1 <= iu < W - 1 and 1 <= iv < H - 1:
+                img[iv, iu] -= depth
+                img[iv + 1, iu] -= depth * 0.5
+    return np.clip(img, 0, 1)
+
+
+def _seg_dist(a, b):
+    """Symmetric endpoint distance allowing endpoint swap."""
+    d1 = np.linalg.norm(a[0:2] - b[0:2]) + np.linalg.norm(a[2:4] - b[2:4])
+    d2 = np.linalg.norm(a[0:2] - b[2:4]) + np.linalg.norm(a[2:4] - b[0:2])
+    return min(d1, d2) / 2.0
+
+
+def _line_angle(seg):
+    return np.arctan2(seg[3] - seg[1], seg[2] - seg[0]) % np.pi
+
+
+class TestDetect:
+    def test_detects_synthetic_segments(self):
+        gt = np.array([
+            [100.0, 100.0, 300.0, 120.0],
+            [400.0, 50.0, 420.0, 300.0],
+            [150.0, 350.0, 350.0, 250.0],
+        ])
+        img = _line_image(480, 640, gt)
+        segs_raw, lens, valid = line_detect.detect_segments(jnp.asarray(img))
+        segs = line_detect.merge_segments(segs_raw, lens, valid, min_length=40.0)
+        assert len(segs) >= 3
+        for g in gt:
+            # some detected segment must be collinear with g (angle + distance
+            # of midpoint to the gt line)
+            ga = _line_angle(g)
+            best = np.inf
+            for s in segs:
+                da = abs((_line_angle(s) - ga + np.pi / 2) % np.pi - np.pi / 2)
+                mid = 0.5 * (s[0:2] + s[2:4])
+                d = np.array([g[2] - g[0], g[3] - g[1]])
+                d = d / np.linalg.norm(d)
+                n = np.array([-d[1], d[0]])
+                perp = abs((mid - g[0:2]) @ n)
+                if da < 0.05 and perp < 3.0:
+                    best = min(best, perp)
+            assert best < 3.0, f"gt line {g} not detected"
+
+    def test_merge_removes_duplicates(self):
+        # two collinear overlapping candidates -> one kept
+        segs = jnp.asarray([
+            [10.0, 10.0, 110.0, 10.0],
+            [40.0, 10.5, 140.0, 10.5],
+            [10.0, 200.0, 110.0, 200.0],
+        ])
+        lens = jnp.asarray([100.0, 100.0, 100.0])
+        valid = jnp.ones(3, dtype=bool)
+        out = line_detect.merge_segments(segs, lens, valid, min_length=25.0)
+        assert len(out) == 2
+
+
+@pytest.mark.slow
+def test_line_tracker_on_rendered_sequence():
+    cfg = SimConfig(duration=2.0, seed=2, n_lines=40)
+    sim = Simulator(cfg)
+    kt = KltTracker(n_pts=80, cam_k=np.asarray(cfg.intrinsics))
+    lt = LineTracker(max_lines=30, min_length=30.0)
+    persist = 0
+    prev_ids = None
+    for t in sim.cam_times()[:6]:
+        img = sim.render_frame(t, with_lines=True)
+        pids, puvs = kt.feed(img)
+        lids, segs = lt.feed(img, pids, puvs)
+        assert len(lids) >= 2, f"too few lines tracked at t={t}"
+        if prev_ids is not None:
+            persist += len(np.intersect1d(lids, prev_ids))
+        prev_ids = lids
+    assert persist >= 5, f"line ids do not persist (persist={persist})"
