@@ -33,6 +33,46 @@ def interpolate_pose_linear(q0, p0, q1, p1, lam):
     return R_t, p_t
 
 
+def polynomial_pose(q0, p0, qs, ps, dts, dt_eval):
+    """Order-n on-manifold polynomial interpolation (MINS-style).
+
+    Fit theta(dt) = sum_i c_i dt^i through the SO(3) log-differences of n
+    later clones relative to the anchor (q0, p0), likewise for position
+    (reference: State::add_polynomial, State.cpp:725-798):
+
+        V_t C = [log(R_i R_0^T); ...],   R(dt) = exp(theta(dt)) R_0,
+        p(dt) = p_0 + sum_i d_i dt^i.
+
+    Args:
+      q0, p0: anchor pose.  qs (n,4), ps (n,3): later clones.
+      dts (n,): their time offsets from the anchor (static shape = order).
+      dt_eval: evaluation offset in [0, dts[-1]].
+    Returns (R_t (3,3), p_t (3,)).
+    """
+    from ..ops import lie
+
+    n = dts.shape[0]
+    R0 = lie.quat_2_rot(q0)
+    Ri = lie.quat_2_rot(qs)
+    th = lie.log_so3(Ri @ R0.T)  # (n,3)
+    dp = ps - p0  # (n,3)
+
+    # Vandermonde in dt powers; (n,n) with entries dts[i]^(j+1)
+    # (QR-based inverse: TPU has no f64 LU kernels, see ops/linalg.py)
+    from ..ops.linalg import inv_small
+
+    powers = dts[:, None] ** (jnp.arange(1, n + 1)[None, :])
+    V_inv = inv_small(powers)
+    c_ori = V_inv @ th  # (n,3) coefficient rows
+    c_pos = V_inv @ dp
+
+    ev = dt_eval ** jnp.arange(1, n + 1)
+    th_t = ev @ c_ori
+    p_t = p0 + ev @ c_pos
+    R_t = lie.exp_so3(th_t) @ R0
+    return R_t, p_t
+
+
 def bounding_clones(clone_t, clone_valid, t):
     """Slots of the clones bounding time t (host-free, masked argmin logic).
 

@@ -31,12 +31,28 @@ from ..update import gps as gps_up
 from ..update import lines as line_up
 from ..update import wheel as wheel_up
 from ..update.feature_db import FeatureDatabase, LineDatabase
+from . import dynamic_cloning as dynclone
 from . import ekf, propagator
+from .interp import interpolate_pose_linear
 from .layout import StateLayout
 from .state import FilterState, make_state, oldest_clone_slot
 
 F64 = jnp.float64
 IMU_PAD = 64  # max IMU samples per propagate dispatch
+
+
+@jax.jit
+def _interp_pose_batch(clone_q, clone_p, s0, s1, lam):
+    """Interpolated (q, p) per observation from bounding clone slots."""
+    from ..ops import lie as _lie
+
+    def one(s0_i, s1_i, lam_i):
+        R_t, p_t = interpolate_pose_linear(
+            clone_q[s0_i], clone_p[s0_i], clone_q[s1_i], clone_p[s1_i], lam_i
+        )
+        return _lie.rot_2_quat(R_t), p_t
+
+    return jax.vmap(jax.vmap(one))(s0, s1, lam)
 
 
 class VioSystem:
@@ -65,6 +81,8 @@ class VioSystem:
         self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
         self.last_wheel_clone_t = None
         self._iw_init = None
+        self._next_clone_time = -np.inf if op.dynamic_cloning else None
+        self._cur_ang_acc = 0.0
         # gps
         self.gps = (
             gps_up.GpsUpdater(op.gps, self.layout, CHI2_TABLE)
@@ -270,7 +288,25 @@ class VioSystem:
                 continue
             if self.imu_buf.newest < t_frame:
                 return  # wait for IMU coverage
+            # dynamic cloning: skip cloning at this frame if the adaptive
+            # clone cadence says the motion is smooth enough (reference:
+            # get_next_clone_time + dynamic_cloning, SystemManager.cpp:172-312;
+            # skipped frames' measurements stay in the DB and are used later
+            # through interpolated-pose updates)
+            if self.opts.dynamic_cloning and self._next_clone_time is not None:
+                if t_frame < self._next_clone_time - 1e-9:
+                    self.pending_frames.popleft()
+                    continue
             self.pending_frames.popleft()
+            if self.opts.dynamic_cloning:
+                ang_acc, lin_acc = dynclone.estimate_accelerations(
+                    self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+                    gravity_mag=self.opts.gravity_mag)
+                hz = dynclone.select_clone_rate(
+                    ang_acc, lin_acc, order=1,
+                    max_hz=float(self.opts.clone_freq))
+                self._cur_ang_acc = ang_acc
+                self._next_clone_time = t_frame + 1.0 / hz
             self._propagate_to(t_frame)
             self._marginalize_for_window(t_frame)
             marg_times = self._next_marg_times()
@@ -530,16 +566,35 @@ class VioSystem:
         clone_times = np.asarray(st.clone_t)
         tmap = {float(clone_times[i]): i for i in np.nonzero(clone_valid)[0]}
 
+        # sorted clone timetable for bounding-clone lookup
+        vslots = np.nonzero(clone_valid)[0]
+        vt = clone_times[vslots]
+        order_idx = np.argsort(vt)
+        vt = vt[order_idx]
+        vslots = vslots[order_idx]
+        t_lo, t_hi = (vt[0], vt[-1]) if len(vt) else (np.inf, -np.inf)
+
+        def locate(ti):
+            """(slot0, slot1, lam) for a measurement time, or None."""
+            if ti in tmap:
+                s = tmap[ti]
+                return s, s, 0.0
+            if not (t_lo < ti < t_hi):
+                return None
+            j = int(np.searchsorted(vt, ti))
+            t0, t1 = vt[j - 1], vt[j]
+            return int(vslots[j - 1]), int(vslots[j]), float((ti - t0) / (t1 - t0))
+
         # --- candidate selection (CamHelper::get_features, :613-707) ---
         cands = []
         for fid, tr in list(self.fdb.tracks.items()):
-            n_in_window = sum(1 for ti in tr.times if ti in tmap)
-            if n_in_window < op.min_track_length:
+            n_usable = sum(1 for ti in tr.times if locate(ti) is not None)
+            if n_usable < op.min_track_length:
                 continue
             lost = tr.times[-1] < t_frame
             hits_marg = any(ti in marg_times for ti in tr.times)
             if lost or hits_marg:
-                cands.append((n_in_window, fid))
+                cands.append((n_usable, fid))
         if not cands:
             return
         cands.sort(reverse=True)
@@ -550,27 +605,35 @@ class VioSystem:
         O = self.layout.n_clones
         obs_uv = np.zeros((Fn, O, 2))
         obs_uvn = np.zeros((Fn, O, 2))
-        obs_slot = np.zeros((Fn, O), dtype=np.int32)
+        obs_s0 = np.zeros((Fn, O), dtype=np.int32)
+        obs_s1 = np.zeros((Fn, O), dtype=np.int32)
+        obs_lam = np.zeros((Fn, O))
         obs_valid = np.zeros((Fn, O), dtype=bool)
         used_fids = []
         for i, (_, fid) in enumerate(cands):
             tr = self.fdb.tracks[fid]
             j = 0
             for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
-                if ti in tmap and j < O:
+                loc = locate(ti)
+                if loc is not None and j < O:
                     obs_uv[i, j] = uv
                     obs_uvn[i, j] = uvn
-                    obs_slot[i, j] = tmap[ti]
+                    obs_s0[i, j], obs_s1[i, j], obs_lam[i, j] = loc
                     obs_valid[i, j] = True
                     j += 1
             used_fids.append(fid)
 
         lo = self.layout
-        # --- triangulate ---
-        cq = st.clone_q[jnp.asarray(obs_slot)]
-        cp = st.clone_p[jnp.asarray(obs_slot)]
+        obs_s0_j = jnp.asarray(obs_s0)
+        obs_s1_j = jnp.asarray(obs_s1)
+        obs_lam_j = jnp.asarray(obs_lam)
+        obs_valid_j = jnp.asarray(obs_valid)
+
+        # --- interpolated poses (est) for triangulation ---
+        cq, cp = _interp_pose_batch(
+            st.clone_q, st.clone_p, obs_s0_j, obs_s1_j, obs_lam_j)
         p_f, ok, avg_err = cam_helper.triangulate_batch(
-            jnp.asarray(obs_uvn), cq, cp, jnp.asarray(obs_valid),
+            jnp.asarray(obs_uvn), cq, cp, obs_valid_j,
             st.cam_q[0], st.cam_p[0],
             min_dist=op.triangulation_min_dist,
             max_dist=op.triangulation_max_dist,
@@ -581,16 +644,29 @@ class VioSystem:
         ok = ok & (avg_err < 3.0 / fx)
 
         # --- per-feature systems + projection + gate ---
-        Hx, Hf, r, rowmask = cam_helper.point_systems_batch(
-            p_f, jnp.asarray(obs_uv), jnp.asarray(obs_slot), jnp.asarray(obs_valid),
+        Hx, Hf, r, rowmask = cam_helper.point_systems_interp_batch(
+            p_f, jnp.asarray(obs_uv), obs_s0_j, obs_s1_j, obs_lam_j,
+            obs_valid_j,
             st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
             st.cam_q[0], st.cam_p[0], st.cam_k[0],
             int(self.distortion_model), lo.n_clones, lo.clone_off, lo.dim,
         )
         rowmask = rowmask & ok[:, None]
+
+        # per-row noise: pixel variance + interpolation-error inflation for
+        # lam != 0 observations (reference: CamHelper.cpp:211-225)
         sigma2 = op.sigma_pix**2
+        if self.opts.dynamic_cloning:
+            interp_px = fx * dynclone.interp_noise_std(
+                self._cur_ang_acc, float(self.opts.clone_freq), 1)
+            s2_obs = sigma2 + (np.abs(obs_lam) > 1e-9) * interp_px**2
+            s2_rows = jnp.asarray(np.repeat(s2_obs, 2, axis=1))
+            r_unit = 1.0
+        else:
+            s2_rows = sigma2
+            r_unit = sigma2
         Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
-            Hx, Hf, r, rowmask, st.cov, sigma2, self.chi2_table, op.chi2_mult,
+            Hx, Hf, r, rowmask, st.cov, s2_rows, self.chi2_table, op.chi2_mult,
         )
         n_ok = int(jnp.sum(feat_ok))
         self.stats["cam_accept"] += n_ok
@@ -606,7 +682,7 @@ class VioSystem:
         mask_all = rowvalid.reshape(M)
         Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
         self.state = ekf.update(
-            self.state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64), cmask
+            self.state, Hc, rc, jnp.full(rc.shape, r_unit, dtype=F64), cmask
         )
         self.stats["updates"] += 1
 

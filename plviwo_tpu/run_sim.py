@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
     ap.add_argument("--auto-init", action="store_true",
                     help="use the IMU(+wheel) initializer instead of ground-truth seeding")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="adaptive clone cadence with interpolated-pose updates")
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
@@ -56,6 +58,7 @@ def main(argv=None):
     sim = Simulator(cfg)
 
     opts = EstimatorOptions()
+    opts.dynamic_cloning = args.dynamic
     opts.cam.max_msckf = args.max_msckf
     opts.cam.sigma_pix = max(args.sigma_pix, 0.3)
     opts.cam.min_track_length = 4

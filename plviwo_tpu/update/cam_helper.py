@@ -209,47 +209,136 @@ def point_systems_batch(
     )(p_f, obs_uv, obs_slot, obs_valid)
 
 
+def _point_system_interp_single(
+    p_f, obs_uv, obs_slot0, obs_slot1, obs_lam, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
+):
+    """Per-feature linear system with *interpolated* poses per observation.
+
+    Each observation carries bounding clone slots (slot0, slot1) and fraction
+    lam; the pose is the on-manifold linear interpolation (the order-1 case
+    of the reference's polynomial interpolation, State.cpp:833-973) and the
+    FEJ Jacobians — wrt both bounding clones and the feature — come from
+    jacfwd, scattered into the layout via one-hot masks weighted per slot.
+    """
+    from ..core.interp import interpolate_pose_linear
+    from ..ops import lie as _lie
+
+    O = obs_uv.shape[0]
+    distort_fn = cam_ops.distort_radtan if model == 0 else cam_ops.distort_equi
+
+    def h(dx0, dx1, dpf, q0, p0, q1, p1, lam):
+        dq0 = _lie.quat_norm(jnp.concatenate([0.5 * dx0[0:3], jnp.ones(1, dtype=p_f.dtype)]))
+        dq1 = _lie.quat_norm(jnp.concatenate([0.5 * dx1[0:3], jnp.ones(1, dtype=p_f.dtype)]))
+        R_t, p_t = interpolate_pose_linear(
+            _lie.quat_multiply(dq0, q0), p0 + dx0[3:6],
+            _lie.quat_multiply(dq1, q1), p1 + dx1[3:6], lam,
+        )
+        R_ItoC = _lie.quat_2_rot(cam_q)
+        p_C = R_ItoC @ (R_t @ (p_f + dpf - p_t)) + cam_p
+        z = jnp.maximum(p_C[2], 1e-6)
+        zn = p_C[:2] / z
+        return distort_fn(zn, cam_k)
+
+    z6 = jnp.zeros(6, dtype=p_f.dtype)
+    z3 = jnp.zeros(3, dtype=p_f.dtype)
+
+    def per_obs(uv, s0, s1, lam):
+        q0, p0 = clone_q[s0], clone_p[s0]
+        q1, p1 = clone_q[s1], clone_p[s1]
+        q0f, p0f = clone_q_fej[s0], clone_p_fej[s0]
+        q1f, p1f = clone_q_fej[s1], clone_p_fej[s1]
+        pred = h(z6, z6, z3, q0, p0, q1, p1, lam)
+        r = uv - pred
+        J0, J1, Jf = jax.jacfwd(h, argnums=(0, 1, 2))(
+            z6, z6, z3, q0f, p0f, q1f, p1f, lam)
+        return r, J0, J1, Jf
+
+    r, J0, J1, Jf = jax.vmap(per_obs)(obs_uv, obs_slot0, obs_slot1, obs_lam)
+    onehot0 = jax.nn.one_hot(obs_slot0, n_clones, dtype=p_f.dtype)
+    onehot1 = jax.nn.one_hot(obs_slot1, n_clones, dtype=p_f.dtype)
+    Hc = (
+        onehot0[:, None, :, None] * J0[:, :, None, :]
+        + onehot1[:, None, :, None] * J1[:, :, None, :]
+    ).reshape(O, 2, -1)
+    Hx = jnp.zeros((O, 2, D), dtype=p_f.dtype)
+    Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
+    Hx = Hx.reshape(2 * O, D)
+    Hf = Jf.reshape(2 * O, 3)
+    rowmask = jnp.repeat(obs_valid, 2)
+    return Hx, Hf, r.reshape(-1), rowmask
+
+
+@partial(jax.jit, static_argnames=("model", "n_clones", "clone_off", "D"))
+def point_systems_interp_batch(
+    p_f, obs_uv, obs_slot0, obs_slot1, obs_lam, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, model: int, n_clones: int, clone_off: int, D: int,
+):
+    return jax.vmap(
+        lambda pf, uv, s0, s1, lm, va: _point_system_interp_single(
+            pf, uv, s0, s1, lm, va, clone_q, clone_p, clone_q_fej, clone_p_fej,
+            cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
+        )
+    )(p_f, obs_uv, obs_slot0, obs_slot1, obs_lam, obs_valid)
+
+
 @partial(jax.jit, static_argnames=())
 def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mult):
     """Nullspace-project each feature system and chi2-gate it.
 
     Args:
       Hx: (F, M, D), Hf: (F, M, 3), r: (F, M), rowmask: (F, M) bool.
-      cov: (D, D); sigma2: pixel noise variance; chi2_table: (K,) 0.95
-      quantiles indexed by dof.
+      cov: (D, D); sigma2: pixel noise variance — scalar, or (F, M) per-row
+      (interpolation-error inflation, reference CamHelper.cpp:211-225; the
+      per-feature system is whitened to unit noise when per-row).
+      chi2_table: (K,) 0.95 quantiles indexed by dof.
     Returns:
       Hn (F, M, D), rn (F, M), rowvalid (F, M), feat_ok (F,).
 
-    Mirrors UpdaterCamera::msckf_update's per-feature loop
-    (UpdaterCamera.cpp:197-294): nullspace projection, residual-norm pre-gate,
-    chi2 gate — but as one batched dispatch.
+    When sigma2 is per-row the returned system is *pre-whitened*: use unit
+    measurement variance downstream.  Mirrors UpdaterCamera::msckf_update's
+    per-feature loop (UpdaterCamera.cpp:197-294) as one batched dispatch.
     """
+    per_row = hasattr(sigma2, "ndim") and getattr(sigma2, "ndim", 0) == 2
 
-    def one(Hx_i, Hf_i, r_i, mask_i):
+    def one(Hx_i, Hf_i, r_i, mask_i, s2_i):
         mf = mask_i.astype(Hx_i.dtype)
+        if per_row:
+            # whiten rows so the projected system has unit noise
+            w = 1.0 / jnp.sqrt(jnp.maximum(s2_i, 1e-12))
+            Hx_i = Hx_i * w[:, None]
+            Hf_i = Hf_i * w[:, None]
+            r_i = r_i * w
+            s_unit = 1.0
+        else:
+            s_unit = sigma2
         Hx_m = Hx_i * mf[:, None]
         Hf_m = Hf_i * mf[:, None]
         r_m = r_i * mf
         Hn, rn, valid = _nullspace(Hf_m, Hx_m, r_m)
-        # `valid` marks the M-3 complement rows; padded original rows were
+        # `valid` marks the M-k complement rows; padded original rows were
         # zeroed before the QR, so their information content is zero rows in
         # (Hn, rn) — harmless for the update.  The chi2 dof however must count
-        # true measurements: 2*n_obs - 3.
+        # true measurements: n_rows - k.
         m = valid.astype(Hx_i.dtype)
         Hv = Hn * m[:, None]
         rv = rn * m
-        S = Hv @ cov @ Hv.T + sigma2 * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
+        S = Hv @ cov @ Hv.T + s_unit * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
         chi = rv @ solve_psd(S, rv)
         k = Hf_i.shape[1]  # nuisance dofs projected out (3 = point, 4 = line)
         dof = jnp.maximum(jnp.sum(mask_i) - k, 1)
         gate = chi2_table[jnp.clip(dof, 1, chi2_table.shape[0] - 1)] * chi2_mult
         ok = (chi < gate) & (jnp.sum(mask_i) >= k + 2)
         # raw-residual pre-gate (reference: per-feature residual norm gate,
-        # UpdaterCamera.cpp:242)
-        ok &= jnp.max(jnp.abs(r_m)) < 20.0
+        # UpdaterCamera.cpp:242); threshold in whitened units when per-row
+        ok &= jnp.max(jnp.abs(r_m)) < (20.0 if not per_row else 15.0)
         return Hv, rv, valid & ok, ok
 
-    return jax.vmap(one)(Hx, Hf, r, rowmask)
+    s2_arg = sigma2 if per_row else jnp.zeros(Hx.shape[:2], dtype=Hx.dtype)
+    return jax.vmap(lambda a, b, c, d, e: one(a, b, c, d, e))(
+        Hx, Hf, r, rowmask, s2_arg)
 
 
 def _nullspace(Hf, Hx, r):
