@@ -70,6 +70,16 @@ class VioSystem:
         self.initialized = False
         self.imu_buf = propagator.ImuBuffer()
         self.fdb = FeatureDatabase()
+        # native C++ track store + batch exporter (falls back to the Python
+        # DB when native/libplviwo_native.so is not built)
+        self.fdb_native = None
+        try:
+            from .. import native as _native
+
+            if _native.available():
+                self.fdb_native = _native.NativeFeatureDatabase()
+        except Exception:
+            self.fdb_native = None
         self.ldb = LineDatabase()
         self.pending_frames: deque = deque()
         self.gravity = jnp.array([0.0, 0.0, op.gravity_mag], dtype=F64)
@@ -159,8 +169,11 @@ class VioSystem:
             uv_pad[:n] = uvs
             k = self.state.cam_k[0]
             uvns = np.asarray(cam_ops.undistort_radtan(jnp.asarray(uv_pad), k))[:n]
-            for fid, uv, uvn in zip(ids, uvs, uvns):
-                self.fdb.update(int(fid), float(t), uv, uvn)
+            if self.fdb_native is not None:
+                self.fdb_native.update_batch(np.asarray(ids), float(t), uvs, uvns)
+            else:
+                for fid, uv, uvn in zip(ids, uvs, uvns):
+                    self.fdb.update(int(fid), float(t), uv, uvn)
         if line_ids is not None and len(line_ids) > 0:
             segs = np.atleast_2d(np.asarray(line_segs, dtype=np.float64))
             n = len(line_ids)
@@ -275,7 +288,7 @@ class VioSystem:
         # drop camera frames from before initialization
         while self.pending_frames and self.pending_frames[0] <= res["t"]:
             self.pending_frames.popleft()
-        self.fdb.cleanup(res["t"])
+        self._db_cleanup(res["t"])
 
     # ------------------------------------------------------------------
     # main processing loop
@@ -327,7 +340,7 @@ class VioSystem:
                     self.state = self.state.replace(
                         clone_keyframe=jnp.zeros_like(self.state.clone_keyframe)
                     )
-            self.fdb.cleanup(t_frame - self.opts.window_size - 0.05)
+            self._db_cleanup(t_frame - self.opts.window_size - 0.05)
             self.ldb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
 
@@ -373,6 +386,16 @@ class VioSystem:
         if n_free <= 1:
             out.add(float(times[valid].min()))
         return out
+
+    def _db_cleanup(self, t_min):
+        if self.fdb_native is not None:
+            self.fdb_native.cleanup(t_min)
+        self.fdb.cleanup(t_min)
+
+    def _db_remove(self, fids):
+        if self.fdb_native is not None:
+            self.fdb_native.remove(fids)
+        self.fdb.remove(fids)
 
     def _record_pose(self):
         self.traj.append(
@@ -585,43 +608,55 @@ class VioSystem:
             t0, t1 = vt[j - 1], vt[j]
             return int(vslots[j - 1]), int(vslots[j]), float((ti - t0) / (t1 - t0))
 
-        # --- candidate selection (CamHelper::get_features, :613-707) ---
-        cands = []
-        for fid, tr in list(self.fdb.tracks.items()):
-            n_usable = sum(1 for ti in tr.times if locate(ti) is not None)
-            if n_usable < op.min_track_length:
-                continue
-            lost = tr.times[-1] < t_frame
-            hits_marg = any(ti in marg_times for ti in tr.times)
-            if lost or hits_marg:
-                cands.append((n_usable, fid))
-        if not cands:
-            return
-        cands.sort(reverse=True)
-        cands = cands[: op.max_msckf]
-
-        # fixed batch size: pad features to max_msckf so jit compiles once
+        # --- candidate selection + padded batch assembly ---
+        # (CamHelper::get_features, :613-707) — native C++ fast path when
+        # libplviwo_native.so is built, Python fallback otherwise
         Fn = op.max_msckf
         O = self.layout.n_clones
-        obs_uv = np.zeros((Fn, O, 2))
-        obs_uvn = np.zeros((Fn, O, 2))
-        obs_s0 = np.zeros((Fn, O), dtype=np.int32)
-        obs_s1 = np.zeros((Fn, O), dtype=np.int32)
-        obs_lam = np.zeros((Fn, O))
-        obs_valid = np.zeros((Fn, O), dtype=bool)
-        used_fids = []
-        for i, (_, fid) in enumerate(cands):
-            tr = self.fdb.tracks[fid]
-            j = 0
-            for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
-                loc = locate(ti)
-                if loc is not None and j < O:
-                    obs_uv[i, j] = uv
-                    obs_uvn[i, j] = uvn
-                    obs_s0[i, j], obs_s1[i, j], obs_lam[i, j] = loc
-                    obs_valid[i, j] = True
-                    j += 1
-            used_fids.append(fid)
+        if self.fdb_native is not None:
+            n_cand, fids_arr, obs_uv, obs_uvn, obs_s0, obs_s1, obs_lam, \
+                obs_valid = self.fdb_native.export_msckf(
+                    vt, vslots.astype(np.int32), sorted(marg_times), t_frame,
+                    op.min_track_length, Fn, O)
+            if n_cand == 0:
+                return
+            used_fids = fids_arr[:n_cand].tolist()
+            n_cands = n_cand
+        else:
+            cands = []
+            for fid, tr in list(self.fdb.tracks.items()):
+                n_usable = sum(1 for ti in tr.times if locate(ti) is not None)
+                if n_usable < op.min_track_length:
+                    continue
+                lost = tr.times[-1] < t_frame
+                hits_marg = any(ti in marg_times for ti in tr.times)
+                if lost or hits_marg:
+                    cands.append((n_usable, fid))
+            if not cands:
+                return
+            cands.sort(reverse=True)
+            cands = cands[: op.max_msckf]
+            n_cands = len(cands)
+
+            obs_uv = np.zeros((Fn, O, 2))
+            obs_uvn = np.zeros((Fn, O, 2))
+            obs_s0 = np.zeros((Fn, O), dtype=np.int32)
+            obs_s1 = np.zeros((Fn, O), dtype=np.int32)
+            obs_lam = np.zeros((Fn, O))
+            obs_valid = np.zeros((Fn, O), dtype=bool)
+            used_fids = []
+            for i, (_, fid) in enumerate(cands):
+                tr = self.fdb.tracks[fid]
+                j = 0
+                for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
+                    loc = locate(ti)
+                    if loc is not None and j < O:
+                        obs_uv[i, j] = uv
+                        obs_uvn[i, j] = uvn
+                        obs_s0[i, j], obs_s1[i, j], obs_lam[i, j] = loc
+                        obs_valid[i, j] = True
+                        j += 1
+                used_fids.append(fid)
 
         lo = self.layout
         obs_s0_j = jnp.asarray(obs_s0)
@@ -670,9 +705,9 @@ class VioSystem:
         )
         n_ok = int(jnp.sum(feat_ok))
         self.stats["cam_accept"] += n_ok
-        self.stats["cam_reject"] += len(cands) - n_ok
+        self.stats["cam_reject"] += n_cands - n_ok
         if n_ok == 0:
-            self.fdb.remove([f for f in used_fids])
+            self._db_remove(used_fids)
             return
 
         # --- stack, compress, update ---
@@ -687,4 +722,4 @@ class VioSystem:
         self.stats["updates"] += 1
 
         # consumed: drop used tracks (MSCKF features are fire-and-forget)
-        self.fdb.remove(used_fids)
+        self._db_remove(used_fids)
