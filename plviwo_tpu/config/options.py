@@ -115,6 +115,19 @@ class GpsOptions:
 
 
 @dataclasses.dataclass
+class ZuptOptions:
+    """Mirrors the intended OptionsZupt (missing from the reference snapshot,
+    SURVEY.md defect #1)."""
+    enabled: bool = False
+    sigma_v: float = 0.05
+    sigma_w: float = 0.01
+    gyro_thresh: float = 0.02
+    accel_var_thresh: float = 0.05
+    window: float = 0.3
+    chi2_mult: float = 5.0
+
+
+@dataclasses.dataclass
 class InitOptions:
     """Mirrors OptionsInit."""
     window_time: float = 1.0
@@ -140,6 +153,7 @@ class EstimatorOptions:
     cam: CameraOptions = field(default_factory=CameraOptions)
     wheel: WheelOptions = field(default_factory=WheelOptions)
     gps: GpsOptions = field(default_factory=GpsOptions)
+    zupt: ZuptOptions = field(default_factory=ZuptOptions)
     init: InitOptions = field(default_factory=InitOptions)
 
     @property

@@ -64,20 +64,26 @@ def _auto_marginalize(state: FilterState, t_now, window_size) -> FilterState:
 
 @partial(
     jax.jit,
-    static_argnames=("model", "window_size"),
+    static_argnames=("model", "window_size", "cam_dtype"),
 )
 def fused_step(
     state: FilterState,
     imu_t, imu_w, imu_a, t_new,
     obs_uv, obs_uvn, obs_slot, obs_valid,
     gravity, sigmas, sigma_pix, chi2_mult,
-    model: int = 0, window_size: float = 1.0,
+    model: int = 0, window_size: float = 1.0, cam_dtype=jnp.float64,
 ):
     """One full frame: propagate + clone + MSCKF update.  Returns (state, metrics).
 
     obs_*: (F, O, ...) padded per-feature observation batches whose `obs_slot`
     indices refer to clone slots *after* this frame's clone insertion (the
     host front-end knows the timetable; `free_clone_slot` is deterministic).
+
+    cam_dtype: dtype of the heavy per-feature camera tensors (Jacobian
+    stacks, gate, compression).  f32 keeps residual precision at ~1e-3 px —
+    far below the pixel noise — while the f64-emulation cost on TPU applies
+    only to the tiny covariance-level algebra.  The compressed system is
+    promoted back to f64 before the EKF update.
     """
     lo: StateLayout = state.layout
 
@@ -88,33 +94,39 @@ def fused_step(
     state = _auto_marginalize(state, t_new, window_size)
     state = ekf.augment_clone(state)
 
-    # --- camera update ---
-    cq = state.clone_q[obs_slot]
-    cp = state.clone_p[obs_slot]
+    # --- camera update (heavy tensors in cam_dtype) ---
+    cd = cam_dtype
+    cq = state.clone_q[obs_slot].astype(cd)
+    cp = state.clone_p[obs_slot].astype(cd)
     p_f, ok, avg_err = cam_helper.triangulate_batch(
-        obs_uvn, cq, cp, obs_valid, state.cam_q[0], state.cam_p[0]
+        obs_uvn.astype(cd), cq, cp, obs_valid,
+        state.cam_q[0].astype(cd), state.cam_p[0].astype(cd)
     )
     fx = state.cam_k[0, 0]
-    ok = ok & (avg_err < 3.0 / fx)
+    ok = ok & (avg_err < 3.0 / fx.astype(cd))
 
     Hx, Hf, r, rowmask = cam_helper.point_systems_batch(
-        p_f, obs_uv, obs_slot, obs_valid,
-        state.clone_q, state.clone_p, state.clone_q_fej, state.clone_p_fej,
-        state.cam_q[0], state.cam_p[0], state.cam_k[0],
+        p_f, obs_uv.astype(cd), obs_slot, obs_valid,
+        state.clone_q.astype(cd), state.clone_p.astype(cd),
+        state.clone_q_fej.astype(cd), state.clone_p_fej.astype(cd),
+        state.cam_q[0].astype(cd), state.cam_p[0].astype(cd),
+        state.cam_k[0].astype(cd),
         model, lo.n_clones, lo.clone_off, lo.dim,
     )
     rowmask = rowmask & ok[:, None]
     sigma2 = sigma_pix**2
-    chi2_table = jnp.asarray(_CHI2_NP)
+    chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
     Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
-        Hx, Hf, r, rowmask, state.cov, sigma2, chi2_table, chi2_mult
+        Hx, Hf, r, rowmask, state.cov.astype(cd), jnp.asarray(sigma2, dtype=cd),
+        chi2_table, chi2_mult
     )
     M = Hn.shape[0] * Hn.shape[1]
     H_all = Hn.reshape(M, lo.dim)
     r_all = rn.reshape(M)
     mask_all = rowvalid.reshape(M)
     Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
-    state = ekf.update(state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64), cmask)
+    state = ekf.update(state, Hc.astype(F64), rc.astype(F64),
+                       jnp.full(rc.shape, sigma2, dtype=F64), cmask)
 
     metrics = {
         "accepted": jnp.sum(feat_ok),

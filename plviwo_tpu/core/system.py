@@ -99,6 +99,17 @@ class VioSystem:
             if op.gps.enabled else None
         )
         self._last_kf_pos = None
+        # zupt (the reference's is missing from its snapshot; we build the
+        # intended behavior — update/zupt.py)
+        self.zupt = None
+        if op.zupt.enabled:
+            from ..update.zupt import ZuptUpdater
+
+            self.zupt = ZuptUpdater(
+                self.layout, CHI2_TABLE, sigma_v=op.zupt.sigma_v,
+                sigma_w=op.zupt.sigma_w, gyro_thresh=op.zupt.gyro_thresh,
+                accel_var_thresh=op.zupt.accel_var_thresh,
+                window=op.zupt.window, chi2_mult=op.zupt.chi2_mult)
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
                       "wheel_accept": 0, "wheel_reject": 0,
@@ -156,6 +167,16 @@ class VioSystem:
             self._try_init()
             return
         self._process_pending()
+        if self.zupt is not None and self.zupt.is_stationary(
+                self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+                np.asarray(self.state.bg)):
+            # propagate up to the current IMU time, then clamp velocity
+            try:
+                if self.imu_buf.newest > float(self.state.time) + 0.05:
+                    self._propagate_to(self.imu_buf.newest)
+                self.zupt.try_update(self, w)
+            except RuntimeError:
+                pass  # IMU coverage gap (e.g. right after init): skip
 
     def feed_camera(self, t, ids, uvs, line_ids=None, line_segs=None):
         """One camera frame of tracked features: persistent ids + raw uv, and
