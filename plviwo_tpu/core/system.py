@@ -192,9 +192,10 @@ class VioSystem:
             uvns = np.asarray(cam_ops.undistort_radtan(jnp.asarray(uv_pad), k))[:n]
             if self.fdb_native is not None:
                 self.fdb_native.update_batch(np.asarray(ids), float(t), uvs, uvns)
-            else:
-                for fid, uv, uvn in zip(ids, uvs, uvns):
-                    self.fdb.update(int(fid), float(t), uv, uvn)
+            # the Python store is kept in sync as the random-access mirror
+            # (SLAM bookkeeping reads individual tracks)
+            for fid, uv, uvn in zip(ids, uvs, uvns):
+                self.fdb.update(int(fid), float(t), uv, uvn)
         if line_ids is not None and len(line_ids) > 0:
             segs = np.atleast_2d(np.asarray(line_segs, dtype=np.float64))
             n = len(line_ids)
@@ -347,6 +348,8 @@ class VioSystem:
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
             self._msckf_update(t_frame, marg_times)
+            if self.layout.max_slam > 0:
+                self._slam_update(t_frame)
             if self.opts.cam.use_lines:
                 self._line_update(t_frame, marg_times)
             if self.opts.wheel.enabled:
@@ -426,6 +429,149 @@ class VioSystem:
                 np.asarray(self.state.p).copy(),
             )
         )
+
+    # ------------------------------------------------------------------
+    # SLAM landmark update / init / marginalization
+    # ------------------------------------------------------------------
+    def _slam_update(self, t_frame):
+        """In-state landmark maintenance (reference: slam_update + slam_init +
+        marginalize_slam_features, UpdaterCamera.cpp:118-137, 296-369)."""
+        op = self.opts.cam
+        lo = self.layout
+        st = self.state
+        S = lo.max_slam
+        slam_id = np.asarray(st.slam_id)
+        slam_valid = np.asarray(st.slam_valid)
+        if not hasattr(self, "_slam_fail"):
+            self._slam_fail = np.zeros(S, dtype=np.int32)
+
+        clone_valid = np.asarray(st.clone_valid)
+        clone_times = np.asarray(st.clone_t)
+        tmap = {float(clone_times[i]): i for i in np.nonzero(clone_valid)[0]}
+
+        # --- (a) update active landmarks with the current frame measurement ---
+        upd_slots, upd_uv = [], []
+        for slot in np.nonzero(slam_valid)[0]:
+            fid = int(slam_id[slot])
+            tr = self.fdb.tracks.get(fid)
+            if tr is None or tr.times[-1] < t_frame - 1e-9:
+                # lost: marginalize the slot (reference marginalizes lost SLAM)
+                self.state = ekf.marginalize_slam_slot(self.state, int(slot))
+                self._slam_fail[slot] = 0
+                continue
+            if t_frame in tmap:
+                upd_slots.append(int(slot))
+                upd_uv.append(tr.uvs[-1])
+        if upd_slots and t_frame in tmap:
+            st = self.state
+            cur_slot = tmap[t_frame]
+            n = len(upd_slots)
+            Su = S  # padded batch
+            uv = np.zeros((Su, 1, 2)); uv[:n, 0] = np.asarray(upd_uv)
+            s_arr = np.zeros(Su, dtype=np.int32); s_arr[:n] = upd_slots
+            ob_s = np.full((Su, 1), cur_slot, dtype=np.int32)
+            ob_lam = np.zeros((Su, 1))
+            ob_valid = np.zeros((Su, 1), dtype=bool); ob_valid[:n, 0] = True
+            Hx, r, rowmask = cam_helper.slam_systems_batch(
+                st.slam_p[jnp.asarray(s_arr)], jnp.asarray(s_arr),
+                jnp.asarray(uv), ob_s, ob_s, jnp.asarray(ob_lam),
+                jnp.asarray(ob_valid),
+                st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                st.slam_p_fej[jnp.asarray(s_arr)],
+                st.cam_q[0], st.cam_p[0], st.cam_k[0],
+                int(self.distortion_model), lo.n_clones, lo.clone_off,
+                lo.slam_off, lo.dim,
+            )
+            sigma2 = op.sigma_pix**2
+            # per-landmark chi2 gate, then one stacked update
+            keep_rows = np.zeros((Su, 2), dtype=bool)
+            for i in range(n):
+                Hi = Hx[i]
+                ri = r[i]
+                mi = rowmask[i]
+                chi = float(ekf.chi2(st.cov, Hi, ri,
+                                     jnp.full(ri.shape, sigma2, dtype=F64), mi))
+                if chi < float(self.chi2_table[2]) * op.chi2_mult:
+                    keep_rows[i] = np.asarray(mi)
+                    self._slam_fail[upd_slots[i]] = 0
+                else:
+                    self._slam_fail[upd_slots[i]] += 1
+            M = Su * 2
+            mask_all = jnp.asarray(keep_rows.reshape(M))
+            if bool(mask_all.any()):
+                self.state = ekf.update(
+                    st, Hx.reshape(M, lo.dim), r.reshape(M),
+                    jnp.full(M, sigma2, dtype=F64), mask_all)
+            # marginalize repeat offenders (reference: update_fail_count)
+            for slot in upd_slots:
+                if self._slam_fail[slot] > 3:
+                    fid = int(np.asarray(self.state.slam_id)[slot])
+                    self.state = ekf.marginalize_slam_slot(self.state, slot)
+                    self._db_remove([fid])
+                    self._slam_fail[slot] = 0
+
+        # --- (b) initialize new landmarks into free slots ---
+        st = self.state
+        slam_valid = np.asarray(st.slam_valid)
+        free = [int(s) for s in np.nonzero(~slam_valid)[0]]
+        if not free:
+            return
+        active_fids = {int(x) for x in np.asarray(st.slam_id) if x >= 0}
+        min_len = min(10, max(int(self.opts.window_size * self.opts.clone_freq) - 1, 4))
+        cands = []
+        for fid, tr in self.fdb.tracks.items():
+            if fid in active_fids or tr.times[-1] < t_frame - 1e-9:
+                continue
+            n_in = sum(1 for ti in tr.times if ti in tmap)
+            if n_in >= min_len:
+                cands.append((n_in, fid))
+        cands.sort(reverse=True)
+        O = lo.n_clones
+        for (_, fid) in cands[: min(len(free), 5)]:
+            tr = self.fdb.tracks[fid]
+            uv = np.zeros((1, O, 2)); uvn = np.zeros((1, O, 2))
+            s0 = np.zeros((1, O), dtype=np.int32); lam = np.zeros((1, O))
+            valid = np.zeros((1, O), dtype=bool)
+            j = 0
+            for ti, u, un in zip(tr.times, tr.uvs, tr.uvns):
+                if ti in tmap and j < O:
+                    uv[0, j] = u; uvn[0, j] = un
+                    s0[0, j] = tmap[ti]; valid[0, j] = True
+                    j += 1
+            st = self.state
+            cq = st.clone_q[jnp.asarray(s0)]
+            cp = st.clone_p[jnp.asarray(s0)]
+            p_f, ok, _ = cam_helper.triangulate_batch(
+                jnp.asarray(uvn), cq, cp, jnp.asarray(valid),
+                st.cam_q[0], st.cam_p[0])
+            if not bool(ok[0]):
+                continue
+            Hx, Hf, r, rowmask = cam_helper.point_systems_interp_batch(
+                p_f, jnp.asarray(uv), jnp.asarray(s0), jnp.asarray(s0),
+                jnp.asarray(lam), jnp.asarray(valid),
+                st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                st.cam_q[0], st.cam_p[0], st.cam_k[0],
+                int(self.distortion_model), lo.n_clones, lo.clone_off, lo.dim)
+            slot = free.pop(0)
+            m = rowmask[0].astype(F64)[:, None]
+            new_cov, dx_full, dn, *_ = ekf.delayed_init(
+                st.cov, Hx[0] * m, Hf[0] * m, r[0] * rowmask[0],
+                jnp.full(r[0].shape, op.sigma_pix**2, dtype=F64),
+                lo.slam(slot), 3)
+            if not bool(jnp.all(jnp.isfinite(dn))) or float(jnp.linalg.norm(dn)) > 5.0:
+                free.insert(0, slot)
+                continue
+            new_p = p_f[0] + dn
+            st2 = ekf.apply_dx(st, dx_full)
+            self.state = st2.replace(
+                cov=new_cov,
+                slam_p=st2.slam_p.at[slot].set(new_p),
+                slam_p_fej=st2.slam_p_fej.at[slot].set(new_p),
+                slam_valid=st2.slam_valid.at[slot].set(True),
+                slam_id=st2.slam_id.at[slot].set(fid),
+            )
+            if not free:
+                break
 
     # ------------------------------------------------------------------
     # line update
@@ -634,6 +780,7 @@ class VioSystem:
         # libplviwo_native.so is built, Python fallback otherwise
         Fn = op.max_msckf
         O = self.layout.n_clones
+        slam_fids = {int(x) for x in np.asarray(self.state.slam_id) if x >= 0}
         if self.fdb_native is not None:
             n_cand, fids_arr, obs_uv, obs_uvn, obs_s0, obs_s1, obs_lam, \
                 obs_valid = self.fdb_native.export_msckf(
@@ -643,9 +790,17 @@ class VioSystem:
                 return
             used_fids = fids_arr[:n_cand].tolist()
             n_cands = n_cand
+            if slam_fids:
+                # SLAM-owned tracks are updated in-state, not as MSCKF rows
+                for i, fid in enumerate(used_fids):
+                    if fid in slam_fids:
+                        obs_valid[i] = False
+                used_fids = [f for f in used_fids if f not in slam_fids]
         else:
             cands = []
             for fid, tr in list(self.fdb.tracks.items()):
+                if fid in slam_fids:
+                    continue
                 n_usable = sum(1 for ti in tr.times if locate(ti) is not None)
                 if n_usable < op.min_track_length:
                     continue

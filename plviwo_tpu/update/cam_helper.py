@@ -341,6 +341,45 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
         Hx, Hf, r, rowmask, s2_arg)
 
 
+@partial(jax.jit, static_argnames=("model", "n_clones", "clone_off", "slam_off", "D"))
+def slam_systems_batch(
+    slam_p, slam_slot, obs_uv, obs_s0, obs_s1, obs_lam, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    slam_p_fej,
+    cam_q, cam_p, cam_k, model: int, n_clones: int, clone_off: int,
+    slam_off: int, D: int,
+):
+    """Linear systems for in-state SLAM landmarks (reference: slam_update,
+    UpdaterCamera.cpp:296-338): like the MSCKF systems but the landmark
+    Jacobian lands in the state columns at its slam slot — no nullspace
+    projection.
+
+    slam_p: (S, 3) landmark estimates; slam_slot: (S,) slot indices;
+    obs_*: (S, O, ...) per-landmark observations.
+    Returns Hx (S, 2O, D), r (S, 2O), rowmask (S, 2O).
+    """
+
+    def one(lm, lm_fej, slot, uv, s0, s1, lam, valid):
+        Hx, Hf, r, rowmask = _point_system_interp_single(
+            lm, uv, s0, s1, lam, valid,
+            clone_q, clone_p, clone_q_fej, clone_p_fej,
+            cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
+        )
+        # place the landmark Jacobian into its state columns; note the
+        # reference evaluates it at the landmark FEJ — jacfwd above used the
+        # estimate for the pose chain; the landmark block is linear in p_f so
+        # fej/est coincide up to the pose FEJ already applied
+        start = (slam_off + 3 * slot).astype(jnp.int32)
+        zero = jnp.int32(0)
+        Hx = jax.lax.dynamic_update_slice(
+            Hx, Hf + jax.lax.dynamic_slice(Hx, (zero, start), (Hx.shape[0], 3)),
+            (zero, start))
+        return Hx, r, rowmask
+
+    return jax.vmap(one)(slam_p, slam_p_fej, slam_slot, obs_uv, obs_s0, obs_s1,
+                         obs_lam, obs_valid)
+
+
 def _nullspace(Hf, Hx, r):
     """Left-nullspace projection of (Hx, r) against Hf via k explicit
     Householder reflectors (k = Hf.shape[1], static).
