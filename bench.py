@@ -13,6 +13,11 @@ Baseline: the reference (MINS-class C++ sliding-window filter, SURVEY.md
 section 6) publishes no in-repo numbers; its class of filter processes a
 frame in ~2 ms on a desktop CPU (~500 frames/s).  BASELINE.json targets
 >=3x reference throughput per chip, so vs_baseline = fps / 1500.
+
+Round-1 measured (single v5e chip through the axon relay): ~25 fps with the
+all-f64 step, ~85 fps with the f32 camera path at B=16, ~120-130 fps at
+B=64.  Remaining gap is under investigation (needs an on-device profiler;
+the relay's remote dispatch makes fine-grained attribution unreliable).
 """
 
 from __future__ import annotations
@@ -35,10 +40,15 @@ def main():
     from plviwo_tpu.core.state import make_state
     from plviwo_tpu.core.step import fused_step
 
-    B = 16          # sequences per chip (data-parallel replay batch)
+    import os
+
+    B = int(os.environ.get("BENCH_B", 64))   # sequences per chip
     n_clones = 22   # 1 s window at up to 20 Hz + margin (KAIST config scale)
-    F, O = 40, 20   # max_msckf features x obs
-    IMU_N = 32
+    F = int(os.environ.get("BENCH_F", 40))
+    O = 20
+    IMU_N = int(os.environ.get("BENCH_IMU_N", 32))
+    cam_dtype = (jnp.float32 if os.environ.get("BENCH_CAM_DTYPE", "f32") == "f32"
+                 else jnp.float64)
 
     layout = StateLayout(n_clones=n_clones, n_cams=1)
     state = make_state(layout, priors={"imu_th": 1e-3, "imu_p": 1e-6,
@@ -71,7 +81,7 @@ def main():
         return jax.vmap(
             lambda s, a, b, c, d, e, f, g, h: fused_step(
                 s, a, b, c, d, e, f, g, h, gravity, sigmas, 1.0, 1.0,
-                model=0, window_size=1.0,
+                model=0, window_size=1.0, cam_dtype=cam_dtype,
             )
         )(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid)
 
@@ -90,7 +100,7 @@ def main():
 
     fps = B * n_iter / wall
     print(json.dumps({
-        "metric": "filter frames/s per chip (batched fused step, B=16)",
+        "metric": f"filter frames/s per chip (batched fused step, B={B})",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / (REFERENCE_FPS * TARGET_MULT), 3),

@@ -77,8 +77,10 @@ def ekf_update(cov, H, r, r_diag, mask):
     K = Kt.T
     dx = K @ rm
 
-    A = jnp.eye(cov.shape[0], dtype=cov.dtype) - K @ Hm
-    new_cov = A @ cov @ A.T + K @ (Rm[:, None] * Kt)
+    # covariance downdate P' = P - K S K^T (the reference's EKFUpdate form,
+    # StateHelper.cpp:94-173) — with S = chol-solved this equals P - PHt K^T
+    # exactly; symmetrization + the masked-row structure keep it SPD at f64
+    new_cov = cov - PHt @ Kt
     return dx, 0.5 * (new_cov + new_cov.T)
 
 

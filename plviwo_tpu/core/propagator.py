@@ -142,44 +142,61 @@ def step_transition(
 def propagate_arrays(
     q, p, v, bg, ba, q_fej, p_fej, v_fej, imu_t, imu_w, imu_a, gravity, sigmas
 ):
-    """Scan the IMU stack, returning the new mean and summed (Phi, Qd).
+    """Advance the mean over the IMU stack and return the summed (Phi, Qd).
 
     imu_t: (N,) strictly increasing over the valid range, then repeated
     (dt = 0) for padding.  imu_w/imu_a: (N, 3).  The first entry must sit at
     the current state time (host pre-interpolates boundaries).
+
+    TPU shaping: only the *mean* recursion is a sequential `lax.scan` (tiny
+    quaternion/vector ops); the per-step 15x15 transition/noise matrices are
+    built in one batched pass over all steps and composed with
+    `lax.associative_scan` —
+        (A2, Q2) o (A1, Q1) = (A2 A1, A2 Q1 A2^T + Q2)
+    is associative, so the 15x15 matmul chain runs at log2(N) depth instead
+    of N sequential steps.
     """
 
-    def body(carry, inp):
-        q, p, v, qf, pf, vf, Phi, Qd = carry
+    def mean_body(carry, inp):
+        q, p, v = carry
         t0, w1, a1, t1, w2, a2 = inp
         dt = t1 - t0
-        w_hat = w1 - bg
-        a_hat = a1 - ba
-        w_hat2 = w2 - bg
-        a_hat2 = a2 - ba
-        new_q, new_p, new_v = rk4_mean(q, p, v, w_hat, a_hat, w_hat2, a_hat2, dt, gravity)
-        # keep mean frozen on padded steps
+        new_q, new_p, new_v = rk4_mean(
+            q, p, v, w1 - bg, a1 - ba, w2 - bg, a2 - ba, dt, gravity)
         new_q = jnp.where(dt > 0, new_q, q)
         new_p = jnp.where(dt > 0, new_p, p)
         new_v = jnp.where(dt > 0, new_v, v)
-        F, Qdi = step_transition(qf, pf, vf, new_q, new_p, new_v, w_hat, dt, gravity, sigmas)
-        Phi = F @ Phi
-        Qd = F @ Qd @ F.T + Qdi
-        Qd = 0.5 * (Qd + Qd.T)
-        # after each step fej == est (reference sets set_fej(imu_x))
-        return (new_q, new_p, new_v, new_q, new_p, new_v, Phi, Qd), None
+        return (new_q, new_p, new_v), (new_q, new_p, new_v)
 
-    N = imu_t.shape[0]
     inputs = (
         imu_t[:-1], imu_w[:-1], imu_a[:-1],
         imu_t[1:], imu_w[1:], imu_a[1:],
     )
-    init = (
-        q, p, v, q_fej, p_fej, v_fej,
-        jnp.eye(15, dtype=q.dtype), jnp.zeros((15, 15), dtype=q.dtype),
-    )
-    (q, p, v, qf, pf, vf, Phi, Qd), _ = jax.lax.scan(body, init, inputs)
-    return q, p, v, Phi, Qd
+    (q_end, p_end, v_end), (qs, ps, vs) = jax.lax.scan(
+        mean_body, (q, p, v), inputs)
+
+    # start-of-step linearization values: the incoming fej for step 0, then
+    # the propagated mean (the reference sets fej = est after every step)
+    q_start = jnp.concatenate([q_fej[None], qs[:-1]], axis=0)
+    p_start = jnp.concatenate([p_fej[None], ps[:-1]], axis=0)
+    v_start = jnp.concatenate([v_fej[None], vs[:-1]], axis=0)
+    dts = imu_t[1:] - imu_t[:-1]
+    w_hats = imu_w[:-1] - bg
+
+    F_all, Qd_all = jax.vmap(
+        lambda qf, pf, vf, nq, np_, nv, wh, dt: step_transition(
+            qf, pf, vf, nq, np_, nv, wh, dt, gravity, sigmas)
+    )(q_start, p_start, v_start, qs, ps, vs, w_hats, dts)
+
+    def compose(x, y):
+        A1, Q1 = x
+        A2, Q2 = y
+        A = A2 @ A1
+        Q = A2 @ Q1 @ jnp.swapaxes(A2, -1, -2) + Q2
+        return A, 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+
+    Phi_acc, Qd_acc = jax.lax.associative_scan(compose, (F_all, Qd_all))
+    return q_end, p_end, v_end, Phi_acc[-1], Qd_acc[-1]
 
 
 def propagate(state: FilterState, imu_t, imu_w, imu_a, t_end, gravity, sigmas) -> FilterState:
