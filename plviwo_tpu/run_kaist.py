@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("--gps", action="store_true")
     ap.add_argument("--lines", action="store_true")
     ap.add_argument("--dynamic", action="store_true")
+    ap.add_argument("--config", type=str, default=None,
+                    help="layered YAML config (see configs/kaist/config.yaml)")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args(argv)
@@ -55,8 +57,13 @@ def main(argv=None):
     cam_q = [0.5019, -0.4999, 0.4981, -0.5001]  # q_ItoC approx (forward camera)
     cam_p = [0.0, 0.0, 0.0]
 
-    opts = EstimatorOptions()
-    opts.dynamic_cloning = args.dynamic
+    if args.config:
+        from .config.yaml_io import load_options
+
+        opts = load_options(args.config).est
+    else:
+        opts = EstimatorOptions()
+    opts.dynamic_cloning = args.dynamic or opts.dynamic_cloning
     opts.cam.sigma_pix = 1.5
     opts.cam.chi2_mult = 8.0
     opts.cam.min_track_length = 4
