@@ -716,28 +716,43 @@ class VioSystem:
             if sel is None:
                 break
             ts, m1s, m2s = sel
-            R_m, p_m, Cov, dR_di, dp_di = wheel_up.preintegrate_3d(
-                jnp.asarray(ts), jnp.asarray(m1s), jnp.asarray(m2s),
-                self.state.wheel_k, op.noise_w, op.noise_v, op.noise_p,
-                self.wheel_type,
-            )
             st = self.state
             slot0 = tmap[t0]
-            H, res = wheel_up.linear_system_3d(
-                st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
-                jnp.asarray(slot0), jnp.asarray(slot1),
-                st.wheel_q, st.wheel_p, R_m, p_m, dR_di, dp_di,
-                lo.n_clones, lo.clone_off, lo.dim,
-                lo.wheel_ext if lo.use_wheel else 0,
-                lo.wheel_int if lo.use_wheel else 0,
-                op.do_calib_ext, op.do_calib_int,
-            )
-            Cov_reg = Cov + 1e-12 * jnp.eye(6, dtype=F64)
+            planar = self.wheel_type in (
+                wheel_up.W2D_ANG, wheel_up.W2D_LIN, wheel_up.W2D_CEN)
+            if planar:
+                th_m, xy_m, Cov = wheel_up.preintegrate_2d(
+                    jnp.asarray(ts), jnp.asarray(m1s), jnp.asarray(m2s),
+                    self.state.wheel_k, op.noise_w, op.noise_v, op.noise_p,
+                    self.wheel_type)
+                H, res = wheel_up.linear_system_2d(
+                    st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                    jnp.asarray(slot0), jnp.asarray(slot1),
+                    st.wheel_q, st.wheel_p, th_m, xy_m,
+                    lo.n_clones, lo.clone_off, lo.dim)
+                rows = 3
+            else:
+                R_m, p_m, Cov, dR_di, dp_di = wheel_up.preintegrate_3d(
+                    jnp.asarray(ts), jnp.asarray(m1s), jnp.asarray(m2s),
+                    self.state.wheel_k, op.noise_w, op.noise_v, op.noise_p,
+                    self.wheel_type,
+                )
+                H, res = wheel_up.linear_system_3d(
+                    st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                    jnp.asarray(slot0), jnp.asarray(slot1),
+                    st.wheel_q, st.wheel_p, R_m, p_m, dR_di, dp_di,
+                    lo.n_clones, lo.clone_off, lo.dim,
+                    lo.wheel_ext if lo.use_wheel else 0,
+                    lo.wheel_int if lo.use_wheel else 0,
+                    op.do_calib_ext, op.do_calib_int,
+                )
+                rows = 6
+            Cov_reg = Cov + 1e-12 * jnp.eye(rows, dtype=F64)
             Hw, rw = ekf.whiten(H, res, Cov_reg)
-            ones = jnp.ones(6, dtype=F64)
-            mask = jnp.ones(6, dtype=bool)
+            ones = jnp.ones(rows, dtype=F64)
+            mask = jnp.ones(rows, dtype=bool)
             chi = float(ekf.chi2(st.cov, Hw, rw, ones, mask))
-            gate = float(self.chi2_table[6]) * op.chi2_mult
+            gate = float(self.chi2_table[rows]) * op.chi2_mult
             if chi < gate:
                 self.state = ekf.update(st, Hw, rw, ones, mask)
                 self.stats["wheel_accept"] += 1

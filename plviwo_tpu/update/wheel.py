@@ -250,6 +250,133 @@ def linear_system_3d(
     return H, res
 
 
+@partial(jax.jit, static_argnames=("type_code",))
+def preintegrate_2d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: int):
+    """2D unicycle preintegration (reference: preintegration_2D,
+    UpdaterWheel.cpp:504-646): RK4 on (theta, x, y) with the frame-rotation
+    sign convention theta_dot = -w, x/y in the O0 frame.
+
+    Returns (th (,), xy (2,), Cov (3,3)).
+    """
+
+    def body(carry, inp):
+        th, x, y, Cov = carry
+        t0, a1, b1, t1, a2, b2 = inp
+        dt = t1 - t0
+        dt_safe = jnp.where(dt > 0, dt, 1.0)
+        w1, v1 = _wv_from_meas(a1, b1, intr, type_code)
+        w2, v2 = _wv_from_meas(a2, b2, intr, type_code)
+        w_alpha = (w2 - w1) / dt_safe
+        v_jerk = (v2 - v1) / dt_safe
+
+        # RK4 (matches the reference's k1..k4 structure)
+        w_h, v_h = w1, v1
+        k1_th = -w_h * dt
+        k1_x = v_h * dt
+        k1_y = 0.0 * dt
+        w_h = w1 + 0.5 * w_alpha * dt
+        v_h = v1 + 0.5 * v_jerk * dt
+        th2 = 0.5 * k1_th
+        k2_th = -w_h * dt
+        k2_x = v_h * jnp.cos(th2) * dt
+        k2_y = -v_h * jnp.sin(th2) * dt
+        th3 = 0.5 * k2_th
+        k3_th = -w_h * dt
+        k3_x = v_h * jnp.cos(th3) * dt
+        k3_y = -v_h * jnp.sin(th3) * dt
+        w_h = w1 + w_alpha * dt
+        v_h = v1 + v_jerk * dt
+        th4 = k3_th
+        k4_th = -w_h * dt
+        k4_x = v_h * jnp.cos(th4) * dt
+        k4_y = -v_h * jnp.sin(th4) * dt
+
+        dth = (k1_th + 2 * k2_th + 2 * k3_th + k4_th) / 6.0
+        dx_l = (k1_x + 2 * k2_x + 2 * k3_x + k4_x) / 6.0
+        dy_l = (k1_y + 2 * k2_y + 2 * k3_y + k4_y) / 6.0
+        # rotate the local increment into the O0 frame; th carries the
+        # frame-rotation angle (-integral of w), the heading is -th
+        c, s = jnp.cos(-th), jnp.sin(-th)
+        new_th = th + dth
+        new_x = x + c * dx_l - s * dy_l
+        new_y = y + s * dx_l + c * dy_l
+
+        # noise propagation: transition wrt (th, x, y) + injected (w, v) noise
+        Phi = jnp.eye(3, dtype=F64)
+        Phi = Phi.at[1, 0].set(-s * dx_l - c * dy_l)
+        Phi = Phi.at[2, 0].set(c * dx_l - s * dy_l)
+        if type_code == W2D_CEN:
+            qw, qv = noise_w**2, noise_v**2
+        else:
+            rl, rr, b = intr[0], intr[1], intr[2]
+            qw = 2.0 * (noise_w * (rl + rr) / (2 * b)) ** 2 + noise_w**2
+            qv = 2.0 * (noise_v * (rl + rr) / 4.0) ** 2 + noise_v**2
+        G = jnp.zeros((3, 3), dtype=F64)
+        G = G.at[0, 0].set(dt)
+        G = G.at[1, 1].set(c * dt)
+        G = G.at[2, 1].set(s * dt)
+        G = G.at[1, 2].set(-s * dt)
+        G = G.at[2, 2].set(c * dt)
+        Q = jnp.diag(jnp.asarray([qw, qv, noise_p**2], dtype=F64) / dt_safe)
+        Cov_new = Phi @ Cov @ Phi.T + G @ Q @ G.T
+        Cov_new = 0.5 * (Cov_new + Cov_new.T)
+
+        pad = dt <= 0
+        return (
+            jnp.where(pad, th, new_th), jnp.where(pad, x, new_x),
+            jnp.where(pad, y, new_y), jnp.where(pad, Cov, Cov_new),
+        ), None
+
+    init = (jnp.asarray(0.0, dtype=F64), jnp.asarray(0.0, dtype=F64),
+            jnp.asarray(0.0, dtype=F64), jnp.zeros((3, 3), dtype=F64))
+    inputs = (ts[:-1], m1s[:-1], m2s[:-1], ts[1:], m1s[1:], m2s[1:])
+    (th, x, y, Cov), _ = jax.lax.scan(body, init, inputs)
+    return th, jnp.stack([x, y]), Cov
+
+
+@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D"))
+def linear_system_2d(
+    clone_q, clone_p, clone_q_fej, clone_p_fej, slot0, slot1,
+    wheel_q, wheel_p, th_meas, xy_meas,
+    n_clones: int, clone_off: int, D: int,
+):
+    """3-row FEJ linear system for the planar relative-motion measurement
+    (reference: compute_linear_system_2D, UpdaterWheel.cpp:223-322), with
+    jacfwd Jacobians: rows [theta_z, x, y]."""
+    R_ItoO = lie.quat_2_rot(wheel_q)
+    p_OinI = -R_ItoO.T @ wheel_p
+    Lam = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=F64)
+    e3 = jnp.asarray([0.0, 0.0, 1.0], dtype=F64)
+
+    def h(dx0, dx1, q0, p0, q1, p1):
+        dq0 = lie.quat_norm(jnp.concatenate([0.5 * dx0[0:3], jnp.ones(1, dtype=F64)]))
+        dq1 = lie.quat_norm(jnp.concatenate([0.5 * dx1[0:3], jnp.ones(1, dtype=F64)]))
+        R0 = lie.quat_2_rot(lie.quat_multiply(dq0, q0))
+        R1 = lie.quat_2_rot(lie.quat_multiply(dq1, q1))
+        pp0 = p0 + dx0[3:6]
+        pp1 = p1 + dx1[3:6]
+        th = e3 @ lie.log_so3(R_ItoO @ R1 @ R0.T @ R_ItoO.T)
+        d = Lam @ (R_ItoO @ R0 @ (pp1 + R1.T @ p_OinI - pp0 - R0.T @ p_OinI))
+        return jnp.concatenate([th[None], d])
+
+    z6 = jnp.zeros(6, dtype=F64)
+    q0, p0 = clone_q[slot0], clone_p[slot0]
+    q1, p1 = clone_q[slot1], clone_p[slot1]
+    pred = h(z6, z6, q0, p0, q1, p1)
+    res = jnp.concatenate([th_meas[None], xy_meas]) - pred
+    J0, J1 = jax.jacfwd(h, argnums=(0, 1))(
+        z6, z6, clone_q_fej[slot0], clone_p_fej[slot0],
+        clone_q_fej[slot1], clone_p_fej[slot1])
+
+    onehot0 = jax.nn.one_hot(slot0, n_clones, dtype=F64)
+    onehot1 = jax.nn.one_hot(slot1, n_clones, dtype=F64)
+    Hc = (onehot0[None, :, None] * J0[:, None, :]
+          + onehot1[None, :, None] * J1[:, None, :]).reshape(3, 6 * n_clones)
+    H = jnp.zeros((3, D), dtype=F64)
+    H = H.at[:, clone_off : clone_off + 6 * n_clones].set(Hc)
+    return H, res
+
+
 class WheelBuffer:
     """Host-side wheel measurement buffer with split/interpolated selection
     (reference: select_wheel_data, UpdaterWheel.cpp:142-217)."""
