@@ -431,6 +431,42 @@ class VioSystem:
         )
 
     # ------------------------------------------------------------------
+    # telemetry (reference: SystemManager::print_status/print_final_report,
+    # SystemManager.cpp:314-522)
+    # ------------------------------------------------------------------
+    def print_status(self):
+        st = self.state
+        p = np.asarray(st.p)
+        n_clones = int(np.asarray(st.clone_valid).sum())
+        n_slam = int(np.asarray(st.slam_valid).sum())
+        from ..utils import logging as vlog
+
+        vlog.info(
+            f"t={float(st.time):.2f} p=[{p[0]:.2f} {p[1]:.2f} {p[2]:.2f}] "
+            f"clones={n_clones} slam={n_slam} stats={self.stats}")
+
+    def final_report(self) -> dict:
+        """End-of-run summary (distance traveled, per-sensor accept rates)."""
+        ps = np.asarray([p for _, _, p in self.traj])
+        dist = float(np.sum(np.linalg.norm(np.diff(ps, axis=0), axis=1))) \
+            if len(ps) > 1 else 0.0
+        def rate(a, r):
+            return round(a / max(a + r, 1), 3)
+        out = {
+            "distance_m": round(dist, 2),
+            "clones": self.stats["clones"],
+            "updates": self.stats["updates"],
+            "cam_accept_rate": rate(self.stats["cam_accept"], self.stats["cam_reject"]),
+            "line_accept_rate": rate(self.stats["line_accept"], self.stats["line_reject"]),
+            "wheel_accept_rate": rate(self.stats["wheel_accept"], self.stats["wheel_reject"]),
+        }
+        if self.gps is not None:
+            out["gps"] = dict(self.gps.stats)
+        if self.zupt is not None:
+            out["zupt"] = dict(self.zupt.stats)
+        return out
+
+    # ------------------------------------------------------------------
     # SLAM landmark update / init / marginalization
     # ------------------------------------------------------------------
     def _slam_update(self, t_frame):

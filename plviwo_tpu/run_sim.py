@@ -184,6 +184,7 @@ def main(argv=None):
         "wall_s": round(wall, 2),
         "fps": round(len(sys_.traj) / wall, 1),
     }
+    summary.update(sys_.final_report())
     print(json.dumps(summary))
     return 0 if (np.isfinite(rmse) and rmse < 5.0) else 1
 

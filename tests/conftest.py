@@ -23,3 +23,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: cuts the ~16 min suite's compile load drastically
+# across runs and reduces in-process compiler pressure
+jax.config.update("jax_compilation_cache_dir", "/tmp/plviwo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    """XLA:CPU in this image crashes (SIGSEGV/abort inside compile) once a
+    single process accumulates ~500 live compiled executables (reproduced at
+    the ~125th test twice, different crash sites, with and without native
+    code loaded).  Dropping the in-memory executable caches every 25 tests
+    keeps the population bounded; the persistent disk cache makes the
+    re-loads cheap."""
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 25 == 0:
+        jax.clear_caches()
