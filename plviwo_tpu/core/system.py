@@ -674,9 +674,12 @@ class VioSystem:
 
         # --- triangulation: direction-constrained LS for classified lines,
         #     two-plane Plücker otherwise ---
-        n2, v2, ok2 = line_up.triangulate_two_plane(
+        n2, v2, ok2, pair_count = line_up.triangulate_two_plane(
             seg_uvn_j, cq, cp, obs_valid_j, st.cam_q[0], st.cam_p[0],
-        )[:3]
+        )
+        # unclassified two-plane lines have the weakest geometry: demand more
+        # supporting plane pairs before trusting them
+        ok2 = ok2 & (pair_count >= 3)
         axes = jnp.eye(3, dtype=F64)
         dir_G = axes[jnp.clip(cls - 1, 0, 2)]
         nd, vd, okd = line_up.triangulate_direction_ls(
@@ -701,7 +704,9 @@ class VioSystem:
         # with the measurement noise
         absr = jnp.abs(r) * rowmask
         r_mean = jnp.sum(absr, axis=1) / jnp.maximum(jnp.sum(rowmask, axis=1), 1)
-        rowmask = rowmask & (r_mean < 4.0 * op.sigma_pix_line)[:, None]
+        # classified lines earn a looser gate than weak two-plane ones
+        gate_mult = jnp.where(use_dir, 4.0, 2.5)
+        rowmask = rowmask & (r_mean < gate_mult * op.sigma_pix_line)[:, None]
         Hn, rn, rowvalid, line_ok = cam_helper.msckf_project_and_gate(
             Hx, Hl, r, rowmask, st.cov, sigma2, self.chi2_table, op.chi2_mult,
         )
