@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
+    ap.add_argument("--perturb", type=float, default=0.0,
+                    help="perturb installed calibration (ext m/rad scale) — "
+                         "the reference's sim_do_perturb consistency check")
+    ap.add_argument("--record", type=str, default=None,
+                    help="directory for MINS-format est/std/gt triplets + timing")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -78,10 +83,19 @@ def main(argv=None):
         opts.wheel.chi2_mult = 10.0
 
     sys_ = VioSystem(opts)
-    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+    cam_p_used = np.asarray(cfg.cam_ext_p, dtype=float)
+    if args.perturb > 0:
+        rng = np.random.default_rng(args.seed + 1)
+        cam_p_used = cam_p_used + rng.normal(0, args.perturb, 3)
+    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cam_p_used)
     if args.wheel:
         sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
                                    [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
+    recorder = None
+    if args.record:
+        from .utils.recorder import StateRecorder
+
+        recorder = StateRecorder(args.record)
 
     imu_t, imu_w, imu_a = sim.imu_stream()
     if not args.auto_init:
@@ -135,8 +149,23 @@ def main(argv=None):
         while next_cam is not None and next_cam[0] <= imu_t[i]:
             sys_.feed_camera(*next_cam)
             next_cam = next(cam_iter, None)
+        n0 = len(sys_.traj)
         sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+        if recorder is not None and len(sys_.traj) > n0:
+            t_now = float(sys_.state.time)
+            kin = sim.gt_kin(t_now)
+            from .ops import lie as _lie
+
+            j = min(int(np.searchsorted(imu_t, t_now)), len(imu_t) - 1)
+            recorder.record(sys_, gt={
+                "q": np.asarray(_lie.rot_2_quat(kin["R_GtoI"])),
+                "p": np.asarray(kin["p_IinG"]),
+                "v": np.asarray(kin["v_IinG"]),
+                "bg": sim.bg_true[j], "ba": sim.ba_true[j],
+            })
     wall = time.time() - t_wall
+    if recorder is not None:
+        recorder.save()
 
     if len(sys_.traj) >= 3:
         from .eval.metrics import ate
