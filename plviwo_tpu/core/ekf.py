@@ -12,8 +12,9 @@ marginalize, and delayed initialization over the fixed-layout covariance of
 - The Givens-rotation nullspace projection / compression of the reference
   (`StateHelper.cpp:602-672`) is replaced by batched `jnp.linalg.qr` — QR maps
   to the MXU; sequential Givens sweeps do not.
-- Update uses the Joseph form (A P A^T + K R K^T) for SPD robustness instead
-  of the reference's K S K^T subtraction + SPD assert.
+- Update uses the reference's covariance downdate P' = P - P H^T K^T
+  (StateHelper.cpp:94-173) with explicit symmetrization; the Joseph form was
+  tried in round 1 and removed (equal cost, no observed SPD benefit at f64).
 """
 
 from __future__ import annotations

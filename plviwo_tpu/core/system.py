@@ -93,6 +93,8 @@ class VioSystem:
         self._iw_init = None
         self._next_clone_time = -np.inf if op.dynamic_cloning else None
         self._cur_ang_acc = 0.0
+        self._frame_dt = None
+        self._last_frame_t = None
         # gps
         self.gps = (
             gps_up.GpsUpdater(op.gps, self.layout, CHI2_TABLE)
@@ -113,7 +115,7 @@ class VioSystem:
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
                       "wheel_accept": 0, "wheel_reject": 0,
-                      "line_accept": 0, "line_reject": 0}
+                      "line_accept": 0, "line_reject": 0, "lost_marg_obs": 0}
         self.traj: list = []  # (t, q_GtoI, p_IinG) at clone times
 
     # ------------------------------------------------------------------
@@ -342,9 +344,12 @@ class VioSystem:
                     max_hz=float(self.opts.clone_freq))
                 self._cur_ang_acc = ang_acc
                 self._next_clone_time = t_frame + 1.0 / hz
+            if self._last_frame_t is not None and t_frame > self._last_frame_t:
+                self._frame_dt = t_frame - self._last_frame_t
+            self._last_frame_t = t_frame
             self._propagate_to(t_frame)
             self._marginalize_for_window(t_frame)
-            marg_times = self._next_marg_times()
+            marg_times = self._next_marg_times(t_frame)
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
             self._msckf_update(t_frame, marg_times)
@@ -387,28 +392,80 @@ class VioSystem:
     def _marginalize_for_window(self, t_now):
         """Free clone slots: drop clones older than the window, and the oldest
         one if the ring is full (reference: marginalize_old_clone,
-        StateHelper.cpp:214-233)."""
+        StateHelper.cpp:214-233).
+
+        Before any clone dies, tracks still holding observations on it are
+        harvested with a final MSCKF/line update (safety net for the
+        predictive harvest of `_next_marg_times`; the reference's
+        UpdaterCamera::try_update likewise gathers feats containing the marg
+        time before StateHelper::marginalize runs)."""
         st = self.state
         t_min = t_now - self.opts.window_size
         valid = np.asarray(st.clone_valid)
         times = np.asarray(st.clone_t)
         keyframe = np.asarray(st.clone_keyframe)
-        for slot in np.nonzero(valid & ~keyframe & (times < t_min))[0]:
+        drop = valid & ~keyframe & (times < t_min)
+        if int((valid & ~drop).sum()) >= self.layout.n_clones:
+            rem = valid & ~drop & ~keyframe
+            if rem.any():
+                t_rem = np.where(rem, times, np.inf)
+                drop[int(np.argmin(t_rem))] = True
+        drop_slots = np.nonzero(drop)[0]
+        if len(drop_slots) == 0:
+            return
+        drop_times = {float(times[s]) for s in drop_slots}
+        if any(
+            any(ti in drop_times for ti in tr.times)
+            for tr in self.fdb.tracks.values()
+        ):
+            self._msckf_update(t_now, drop_times)
+        if self.opts.cam.use_lines and any(
+            any(ti in drop_times for ti in tr.times)
+            for tr in self.ldb.tracks.values()
+        ):
+            self._line_update(t_now, drop_times)
+        # accounting: a mature (usable) track still observing a dying clone
+        # after the harvest is a genuinely lost measurement (must stay 0 —
+        # tested); immature tracks lose only their pre-window head, as in the
+        # reference's remove_unusable_measurements
+        min_len = self.opts.cam.min_track_length
+        live_times = {float(times[i]) for i in np.nonzero(valid & ~drop)[0]}
+        usable_times = live_times | drop_times
+        slam_fids = {int(x) for x in np.asarray(self.state.slam_id) if x >= 0}
+        self.stats["lost_marg_obs"] += sum(
+            1
+            for fid, tr in self.fdb.tracks.items()
+            if fid not in slam_fids
+            and sum(1 for ti in tr.times if ti in usable_times) >= min_len
+            and any(ti in drop_times for ti in tr.times)
+        )
+        for slot in drop_slots:
             self.state = ekf.marginalize_clone(self.state, int(slot))
-        if int(jnp.sum(self.state.clone_valid)) >= self.layout.n_clones:
-            self.state = ekf.marginalize_clone(self.state, oldest_clone_slot(self.state))
 
-    def _next_marg_times(self):
-        """Clone times that will fall out of the window at the next frame."""
+    def _next_marg_times(self, t_now):
+        """Times of every clone expected to leave the window by the next frame
+        (age-out and ring-full), so tracks observing them are harvested this
+        frame while the observations are still usable."""
         st = self.state
         valid = np.asarray(st.clone_valid)
         times = np.asarray(st.clone_t)
-        if not valid.any():
+        keyframe = np.asarray(st.clone_keyframe)
+        cand = valid & ~keyframe
+        if not cand.any():
             return set()
-        n_free = self.layout.n_clones - int(valid.sum())
-        out = set()
-        if n_free <= 1:
-            out.add(float(times[valid].min()))
+        dt = self._frame_dt if self._frame_dt else 1.0 / float(self.opts.clone_freq)
+        if (
+            self.opts.dynamic_cloning
+            and self._next_clone_time is not None
+            and np.isfinite(self._next_clone_time)
+        ):
+            dt = max(dt, self._next_clone_time - t_now)
+        t_min_next = t_now + 1.5 * dt - self.opts.window_size
+        out = {float(t) for t in times[cand] if t < t_min_next}
+        # this frame adds a clone; if age-outs won't free a slot by the next
+        # frame the oldest will be forced out then
+        if int(valid.sum()) + 1 - len(out) >= self.layout.n_clones:
+            out.add(float(times[cand].min()))
         return out
 
     def _db_cleanup(self, t_min):

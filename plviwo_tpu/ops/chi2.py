@@ -2,9 +2,9 @@
 
 Replaces the reference's boost::math-based quantile computation
 (`UpdaterStatistics.cpp:31-155`: a precomputed 0.95-quantile table for dof<500
-plus on-demand quantiles) with a jnp lookup table computed once at import via
-the Wilson-Hilferty approximation refined by a few Newton steps on the
-regularized gamma function — accurate to <1e-6 relative over dof 1..2000.
+plus on-demand quantiles) with a lookup table computed once at import from
+`scipy.stats.chi2.ppf` (scipy ships with the baked image) covering
+dof 1..2048; jitted gates index the table with traced dofs.
 """
 
 from __future__ import annotations

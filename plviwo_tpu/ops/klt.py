@@ -235,10 +235,18 @@ def ransac_fundamental(x1, x2, valid, key, n_hyp: int = 64, thresh: float = 2e-3
     (TrackKLT.cpp:829-886) with all hypotheses evaluated in one batch.
     """
     N = x1.shape[0]
-    idx = jax.random.randint(key, (n_hyp, 8), 0, N)
-    # bias sampling toward valid entries: resample invalid picks to first valid
-    first_valid = jnp.argmax(valid)
-    idx = jnp.where(valid[idx], idx, first_valid)
+    # sample 8 *distinct* valid correspondences per hypothesis: a random
+    # arithmetic progression in compacted (valid-first) index space — stride
+    # s <= (n_valid-1)//8 guarantees distinctness, so no rank-deficient
+    # eight-point solves from repeated points
+    n_valid = jnp.maximum(jnp.sum(valid), 9)
+    order = jnp.argsort(~valid)  # valid indices first (stable)
+    k1, k2 = jax.random.split(key)
+    r0 = jax.random.randint(k1, (n_hyp, 1), 0, N) % n_valid
+    smax = jnp.maximum((n_valid - 1) // 8, 1)
+    s = 1 + jax.random.randint(k2, (n_hyp, 1), 0, N) % smax
+    pos = (r0 + s * jnp.arange(8)[None, :]) % n_valid
+    idx = order[pos]
 
     def one(hyp_idx):
         F = _eight_point(x1[hyp_idx], x2[hyp_idx])

@@ -87,6 +87,17 @@ def test_updates_happened(vio_run):
     assert sys.stats["cam_accept"] / max(total, 1) > 0.5
 
 
+def test_no_silent_measurement_loss(vio_run):
+    """No mature track's observation dies un-harvested when its clone is
+    marginalized (round-1 defect: `_next_marg_times` only announced the
+    ring-full clone, so age-out drops silently destroyed measurements)."""
+    _, sys = vio_run
+    assert sys.stats["lost_marg_obs"] == 0, (
+        f"{sys.stats['lost_marg_obs']} mature-track observations were "
+        "destroyed by clone marginalization without a harvest update"
+    )
+
+
 def test_covariance_healthy(vio_run):
     _, sys = vio_run
     cov = np.asarray(sys.state.cov)
