@@ -99,15 +99,15 @@ int64_t fdb_size(void* h) {
 // marg_t: clone times that will fall out of the window next frame (n_marg).
 // Outputs (caller-allocated, F = max_msckf, O = max_obs):
 //   out_uv (F*O*2), out_uvn (F*O*2), out_s0/out_s1 (F*O int32),
-//   out_lam (F*O), out_valid (F*O uint8), out_fids (F int64).
+//   out_lam (F*O), out_t (F*O obs times), out_valid (F*O uint8), out_fids (F int64).
 // Returns the number of candidate features written.
 int64_t fdb_export_msckf(void* h, const double* clone_t,
                          const int32_t* clone_slot, int64_t n_ct,
                          const double* marg_t, int64_t n_marg, double t_frame,
                          int64_t min_track, int64_t max_msckf, int64_t max_obs,
                          double* out_uv, double* out_uvn, int32_t* out_s0,
-                         int32_t* out_s1, double* out_lam, uint8_t* out_valid,
-                         int64_t* out_fids) {
+                         int32_t* out_s1, double* out_lam, double* out_t,
+                         uint8_t* out_valid, int64_t* out_fids) {
   Db* db = static_cast<Db*>(h);
   const double kTimeTol = 1e-9;
   double t_lo = n_ct ? clone_t[0] : 1e300;
@@ -172,6 +172,7 @@ int64_t fdb_export_msckf(void* h, const double* clone_t,
       out_s0[idx] = s0;
       out_s1[idx] = s1;
       out_lam[idx] = lam;
+      out_t[idx] = tr.times[k];
       out_valid[idx] = 1;
       j++;
     }

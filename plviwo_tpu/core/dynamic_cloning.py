@@ -75,6 +75,27 @@ def estimate_accelerations(imu_t, imu_w, imu_a, window: float = 0.5,
     return ang_acc, lin_acc
 
 
+def select_rate_and_order(ang_acc: float, lin_acc: float, max_order: int = 3,
+                          target_std: float = 0.02, mlt: float = 1.0,
+                          max_hz: float = 30.0):
+    """Cheapest (hz, order) pair keeping interpolation-error std below target.
+
+    The reference picks both the clone rate AND the interpolation order from
+    the slope tables (SystemManager::dynamic_cloning, SystemManager.cpp:
+    293-312): a higher order lets a lower clone rate qualify.  Scans rates
+    ascending and prefers the lowest order that qualifies at that rate.
+    """
+    accel = ang_acc + lin_acc
+    orders = (1, max_order) if max_order > 1 else (1,)
+    for hz in AVAILABLE_HZ:
+        if hz > max_hz:
+            break
+        for order in orders:
+            if interp_noise_std(accel, hz, order, mlt) <= target_std:
+                return float(hz), order
+    return float(min(max_hz, AVAILABLE_HZ[-1])), (max_order if max_order > 1 else 1)
+
+
 def select_clone_rate(ang_acc: float, lin_acc: float, order: int,
                       target_std: float = 0.02, mlt: float = 1.0,
                       max_hz: float = 30.0):

@@ -33,26 +33,12 @@ from ..update import wheel as wheel_up
 from ..update.feature_db import FeatureDatabase, LineDatabase
 from . import dynamic_cloning as dynclone
 from . import ekf, propagator
-from .interp import interpolate_pose_linear
+from .interp import build_interp_table
 from .layout import StateLayout
 from .state import FilterState, make_state, oldest_clone_slot
 
 F64 = jnp.float64
 IMU_PAD = 64  # max IMU samples per propagate dispatch
-
-
-@jax.jit
-def _interp_pose_batch(clone_q, clone_p, s0, s1, lam):
-    """Interpolated (q, p) per observation from bounding clone slots."""
-    from ..ops import lie as _lie
-
-    def one(s0_i, s1_i, lam_i):
-        R_t, p_t = interpolate_pose_linear(
-            clone_q[s0_i], clone_p[s0_i], clone_q[s1_i], clone_p[s1_i], lam_i
-        )
-        return _lie.rot_2_quat(R_t), p_t
-
-    return jax.vmap(jax.vmap(one))(s0, s1, lam)
 
 
 class VioSystem:
@@ -93,6 +79,7 @@ class VioSystem:
         self._iw_init = None
         self._next_clone_time = -np.inf if op.dynamic_cloning else None
         self._cur_ang_acc = 0.0
+        self._cur_order = 1
         self._frame_dt = None
         self._last_frame_t = None
         # gps
@@ -122,8 +109,14 @@ class VioSystem:
     # configuration helpers
     # ------------------------------------------------------------------
     def set_calibration(self, cam_k, cam_q, cam_p, cam_dt=0.0):
-        """Install camera calibration means into the state."""
+        """Install camera calibration means into the state.
+
+        cam_dt is the time offset already folded into the timestamps the
+        driver feeds (t_label = t_cam + cam_dt); online dt estimation shifts
+        the measurement evaluation time by (dt_est - this initial value).
+        """
         st = self.state
+        self._cam_dt0 = float(cam_dt)
         self.state = st.replace(
             cam_k=st.cam_k.at[0].set(jnp.asarray(cam_k, dtype=F64)),
             cam_q=st.cam_q.at[0].set(jnp.asarray(cam_q, dtype=F64)),
@@ -134,14 +127,30 @@ class VioSystem:
     def initialize_from(self, t, q_GtoI, p, v, bg, ba):
         """Seed the state (ground-truth init path, Initializer.cpp:170-220)."""
         op = self.opts.imu
-        st = make_state(
-            self.layout,
-            priors={
-                "imu_th": op.init_cov_ori, "imu_p": op.init_cov_pos,
-                "imu_v": op.init_cov_vel, "imu_bg": op.init_cov_dbg,
-                "imu_ba": op.init_cov_dba,
-            },
-        )
+        oc = self.opts.cam
+        priors = {
+            "imu_th": op.init_cov_ori, "imu_p": op.init_cov_pos,
+            "imu_v": op.init_cov_vel, "imu_bg": op.init_cov_dbg,
+            "imu_ba": op.init_cov_dba,
+        }
+        # online-calibration priors: only estimated blocks get nonzero
+        # covariance (reference: State ctor calib priors, State.cpp:215-269)
+        if oc.do_calib_dt:
+            priors["cam_dt"] = oc.init_cov_dt
+        if oc.do_calib_ext:
+            # single scalar prior std for the 6-dof ext block (the layout
+            # makes no ori/pos split in make_state); use the looser of the two
+            priors["cam_ext"] = max(oc.init_cov_ext_or, oc.init_cov_ext_pos)
+        if oc.do_calib_int:
+            priors["cam_int"] = max(oc.init_cov_in_k, oc.init_cov_in_c)
+        ow = self.opts.wheel
+        if ow.enabled and ow.do_calib_dt:
+            priors["wheel_dt"] = ow.init_cov_dt
+        if ow.enabled and ow.do_calib_ext:
+            priors["wheel_ext"] = max(ow.init_cov_ext_or, ow.init_cov_ext_pos)
+        if ow.enabled and ow.do_calib_int:
+            priors["wheel_int"] = max(ow.init_cov_in_r, ow.init_cov_in_b)
+        st = make_state(self.layout, priors=priors)
         q = jnp.asarray(q_GtoI, dtype=F64)
         p = jnp.asarray(p, dtype=F64)
         v = jnp.asarray(v, dtype=F64)
@@ -339,10 +348,11 @@ class VioSystem:
                 ang_acc, lin_acc = dynclone.estimate_accelerations(
                     self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
                     gravity_mag=self.opts.gravity_mag)
-                hz = dynclone.select_clone_rate(
-                    ang_acc, lin_acc, order=1,
+                hz, order = dynclone.select_rate_and_order(
+                    ang_acc, lin_acc, max_order=self.opts.intr_order,
                     max_hz=float(self.opts.clone_freq))
                 self._cur_ang_acc = ang_acc
+                self._cur_order = order
                 self._next_clone_time = t_frame + 1.0 / hz
             if self._last_frame_t is not None and t_frame > self._last_frame_t:
                 self._frame_dt = t_frame - self._last_frame_t
@@ -862,6 +872,59 @@ class VioSystem:
     # ------------------------------------------------------------------
     # MSCKF camera update
     # ------------------------------------------------------------------
+    def _interp_table(self, vt, vslots, obs_t, obs_valid):
+        """Assemble + build the interpolated-pose/Jacobian table over the
+        unique measurement times of an observation batch.
+
+        Host picks K = order+1 support clones per time (the reference's
+        bounding_poses_n, State.cpp:1053-1136); the device fills the table in
+        one dispatch (`build_interp_table`).  Mutates obs_valid in place when
+        the table capacity drops the oldest times.  Returns
+        (obs_tidx, tq, tp, tq_f, tp_f, tJ, tJt, is_interp, order) or None.
+        """
+        st = self.state
+        lo = self.layout
+        if len(vt) < 2 or not obs_valid.any():
+            return None
+        order = (self._cur_order if self.opts.dynamic_cloning
+                 else self.opts.intr_order)
+        order = max(1, min(order, len(vt) - 1))
+        if order != self.opts.intr_order:
+            order = 1  # only two compiled variants: linear and intr_order
+        K = order + 1
+        T = 2 * lo.n_clones + 8
+        tarr = np.unique(obs_t[obs_valid])
+        if len(tarr) > T:
+            tarr = tarr[-T:]  # keep the newest times; drop overflow obs
+            obs_valid &= np.isin(obs_t, tarr)
+        # padding rows use distinct slots/dts so the Vandermonde stays
+        # invertible (outputs unused; invalid slots hold identity poses)
+        # online dt estimation: the labeled time corresponds to the *initial*
+        # cam_dt; evaluate the pose at t_label + (dt_est - dt_initial) so the
+        # estimated offset actually moves the predictions (reference folds
+        # the live dt into the interpolation time, State.cpp:833-973)
+        dt_shift = (float(np.asarray(st.cam_dt)[0]) - getattr(self, "_cam_dt0", 0.0)
+                    if self.opts.cam.do_calib_dt else 0.0)
+        sup_slot = np.tile(np.arange(K, dtype=np.int32)[None, :], (T, 1))
+        sup_dt = np.tile(np.arange(K, dtype=np.float64)[None, :], (T, 1))
+        dt_eval = np.zeros(T)
+        for i, ti in enumerate(tarr):
+            j = int(np.searchsorted(vt, ti))
+            lo_i = int(np.clip(j - K // 2, 0, len(vt) - K))
+            ts = vt[lo_i : lo_i + K]
+            sup_slot[i] = vslots[lo_i : lo_i + K]
+            sup_dt[i] = ts - ts[0]
+            dt_eval[i] = ti - ts[0] + dt_shift
+        obs_tidx = np.searchsorted(tarr, obs_t).clip(0, T - 1).astype(np.int32)
+        obs_tidx[~obs_valid] = 0
+        tq, tp, tq_f, tp_f, tJ, tJt = build_interp_table(
+            st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+            jnp.asarray(sup_slot), jnp.asarray(sup_dt), jnp.asarray(dt_eval),
+            K=K, n_clones=lo.n_clones)
+        is_interp = ~np.isin(obs_t, vt) if abs(dt_shift) < 1e-9 else \
+            np.ones_like(obs_valid)
+        return obs_tidx, tq, tp, tq_f, tp_f, tJ, tJt, is_interp, order
+
     def _msckf_update(self, t_frame, marg_times):
         op = self.opts.cam
         st = self.state
@@ -895,7 +958,7 @@ class VioSystem:
         O = self.layout.n_clones
         slam_fids = {int(x) for x in np.asarray(self.state.slam_id) if x >= 0}
         if self.fdb_native is not None:
-            n_cand, fids_arr, obs_uv, obs_uvn, obs_s0, obs_s1, obs_lam, \
+            n_cand, fids_arr, obs_uv, obs_uvn, _s0, _s1, _lam, obs_t, \
                 obs_valid = self.fdb_native.export_msckf(
                     vt, vslots.astype(np.int32), sorted(marg_times), t_frame,
                     op.min_track_length, Fn, O)
@@ -929,33 +992,37 @@ class VioSystem:
 
             obs_uv = np.zeros((Fn, O, 2))
             obs_uvn = np.zeros((Fn, O, 2))
-            obs_s0 = np.zeros((Fn, O), dtype=np.int32)
-            obs_s1 = np.zeros((Fn, O), dtype=np.int32)
-            obs_lam = np.zeros((Fn, O))
+            obs_t = np.zeros((Fn, O))
             obs_valid = np.zeros((Fn, O), dtype=bool)
             used_fids = []
             for i, (_, fid) in enumerate(cands):
                 tr = self.fdb.tracks[fid]
                 j = 0
                 for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
-                    loc = locate(ti)
-                    if loc is not None and j < O:
+                    if locate(ti) is not None and j < O:
                         obs_uv[i, j] = uv
                         obs_uvn[i, j] = uvn
-                        obs_s0[i, j], obs_s1[i, j], obs_lam[i, j] = loc
+                        obs_t[i, j] = ti
                         obs_valid[i, j] = True
                         j += 1
                 used_fids.append(fid)
 
         lo = self.layout
-        obs_s0_j = jnp.asarray(obs_s0)
-        obs_s1_j = jnp.asarray(obs_s1)
-        obs_lam_j = jnp.asarray(obs_lam)
+
+        # --- interpolated-pose table over the unique measurement times ---
+        # (reference: cached get_interpolated_jacobian per time/sensor,
+        # State.cpp:833-973; order from intr_order / dynamic selection,
+        # SystemManager.cpp:293-312)
+        tbl = self._interp_table(vt, vslots, obs_t, obs_valid)
+        if tbl is None:
+            return
+        obs_tidx, tq, tp, tq_f, tp_f, tJ, tJt, is_interp, order = tbl
+        obs_tidx_j = jnp.asarray(obs_tidx)
         obs_valid_j = jnp.asarray(obs_valid)
 
         # --- interpolated poses (est) for triangulation ---
-        cq, cp = _interp_pose_batch(
-            st.clone_q, st.clone_p, obs_s0_j, obs_s1_j, obs_lam_j)
+        cq = tq[obs_tidx_j]
+        cp = tp[obs_tidx_j]
         p_f, ok, avg_err = cam_helper.triangulate_batch(
             jnp.asarray(obs_uvn), cq, cp, obs_valid_j,
             st.cam_q[0], st.cam_p[0],
@@ -967,23 +1034,26 @@ class VioSystem:
         fx = float(st.cam_k[0, 0])
         ok = ok & (avg_err < 3.0 / fx)
 
-        # --- per-feature systems + projection + gate ---
-        Hx, Hf, r, rowmask = cam_helper.point_systems_interp_batch(
-            p_f, jnp.asarray(obs_uv), obs_s0_j, obs_s1_j, obs_lam_j,
-            obs_valid_j,
-            st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+        # --- per-feature systems + projection + gate (calibration columns
+        # per the do_calib_* flags, reference CamHelper.cpp:77-102,139-167) ---
+        Hx, Hf, r, rowmask = cam_helper.point_systems_table_batch(
+            p_f, jnp.asarray(obs_uv), obs_tidx_j, obs_valid_j,
+            tq, tp, tq_f, tp_f, tJ, tJt,
             st.cam_q[0], st.cam_p[0], st.cam_k[0],
-            int(self.distortion_model), lo.n_clones, lo.clone_off, lo.dim,
+            int(self.distortion_model), lo.clone_off, lo.dim,
+            lo.cam_dt(0) if op.do_calib_dt else -1,
+            lo.cam_ext(0) if op.do_calib_ext else -1,
+            lo.cam_int(0) if op.do_calib_int else -1,
         )
         rowmask = rowmask & ok[:, None]
 
         # per-row noise: pixel variance + interpolation-error inflation for
-        # lam != 0 observations (reference: CamHelper.cpp:211-225)
+        # off-clone observations (reference: CamHelper.cpp:211-225)
         sigma2 = op.sigma_pix**2
         if self.opts.dynamic_cloning:
             interp_px = fx * dynclone.interp_noise_std(
-                self._cur_ang_acc, float(self.opts.clone_freq), 1)
-            s2_obs = sigma2 + (np.abs(obs_lam) > 1e-9) * interp_px**2
+                self._cur_ang_acc, float(self.opts.clone_freq), order)
+            s2_obs = sigma2 + (is_interp & obs_valid) * interp_px**2
             s2_rows = jnp.asarray(np.repeat(s2_obs, 2, axis=1))
             r_unit = 1.0
         else:

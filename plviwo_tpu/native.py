@@ -50,6 +50,7 @@ def _load():
         C.c_int64, C.c_int64, C.c_int64,
         C.POINTER(C.c_double), C.POINTER(C.c_double),
         C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_double),
+        C.POINTER(C.c_double),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
     ]
     _lib = lib
@@ -102,7 +103,7 @@ class NativeFeatureDatabase:
 
     def export_msckf(self, clone_t, clone_slot, marg_t, t_frame,
                      min_track, max_msckf, max_obs):
-        """Returns (n, fids, uv, uvn, s0, s1, lam, valid) padded arrays."""
+        """Returns (n, fids, uv, uvn, s0, s1, lam, t, valid) padded arrays."""
         clone_t = np.ascontiguousarray(clone_t, dtype=np.float64)
         clone_slot = np.ascontiguousarray(clone_slot, dtype=np.int32)
         marg_t = np.ascontiguousarray(marg_t, dtype=np.float64)
@@ -112,6 +113,7 @@ class NativeFeatureDatabase:
         s0 = np.zeros((F, O), dtype=np.int32)
         s1 = np.zeros((F, O), dtype=np.int32)
         lam = np.zeros((F, O))
+        obs_t = np.zeros((F, O))
         valid = np.zeros((F, O), dtype=np.uint8)
         fids = np.full(F, -1, dtype=np.int64)
         n = self._lib.fdb_export_msckf(
@@ -120,5 +122,6 @@ class NativeFeatureDatabase:
             float(t_frame), int(min_track), F, O,
             _ptr(uv, C.c_double), _ptr(uvn, C.c_double),
             _ptr(s0, C.c_int32), _ptr(s1, C.c_int32), _ptr(lam, C.c_double),
+            _ptr(obs_t, C.c_double),
             _ptr(valid, C.c_uint8), _ptr(fids, C.c_int64))
-        return int(n), fids, uv, uvn, s0, s1, lam, valid.astype(bool)
+        return int(n), fids, uv, uvn, s0, s1, lam, obs_t, valid.astype(bool)

@@ -30,12 +30,21 @@ def main(argv=None):
                     help="use the IMU(+wheel) initializer instead of ground-truth seeding")
     ap.add_argument("--dynamic", action="store_true",
                     help="adaptive clone cadence with interpolated-pose updates")
+    ap.add_argument("--clone-freq", type=int, default=None,
+                    help="max clone rate [Hz] (with --dynamic this caps the "
+                         "adaptive rate; forces interpolated updates when "
+                         "below the camera rate)")
+    ap.add_argument("--intr-order", type=int, default=None,
+                    help="polynomial interpolation order (1=linear, 3=cubic)")
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
     ap.add_argument("--perturb", type=float, default=0.0,
                     help="perturb installed calibration (ext m/rad scale) — "
                          "the reference's sim_do_perturb consistency check")
+    ap.add_argument("--calib", action="store_true",
+                    help="estimate camera extrinsics online (do_calib_ext; "
+                         "pair with --perturb to demonstrate recovery)")
     ap.add_argument("--record", type=str, default=None,
                     help="directory for MINS-format est/std/gt triplets + timing")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
@@ -64,6 +73,14 @@ def main(argv=None):
 
     opts = EstimatorOptions()
     opts.dynamic_cloning = args.dynamic
+    if args.clone_freq is not None:
+        opts.clone_freq = args.clone_freq
+    if args.intr_order is not None:
+        opts.intr_order = args.intr_order
+    if args.calib:
+        opts.cam.do_calib_ext = True
+        opts.cam.init_cov_ext_or = 0.02
+        opts.cam.init_cov_ext_pos = max(0.05, 2.0 * args.perturb)
     opts.cam.max_msckf = args.max_msckf
     opts.cam.sigma_pix = max(args.sigma_pix, 0.3)
     opts.cam.min_track_length = 4
@@ -214,6 +231,17 @@ def main(argv=None):
         "fps": round(len(sys_.traj) / wall, 1),
     }
     summary.update(sys_.final_report())
+    if args.calib:
+        ext_err = float(np.linalg.norm(
+            np.asarray(sys_.state.cam_p[0]) - np.asarray(cfg.cam_ext_p)))
+        lo = sys_.layout
+        ext_std = float(np.sqrt(np.trace(np.asarray(
+            sys_.state.cov)[lo.cam_ext(0) + 3 : lo.cam_ext(0) + 6,
+                            lo.cam_ext(0) + 3 : lo.cam_ext(0) + 6])))
+        summary["cam_ext_err_m"] = round(ext_err, 4)
+        summary["cam_ext_err0_m"] = round(
+            float(np.linalg.norm(cam_p_used - np.asarray(cfg.cam_ext_p))), 4)
+        summary["cam_ext_3sigma_m"] = round(3 * ext_std, 4)
     print(json.dumps(summary))
     return 0 if (np.isfinite(rmse) and rmse < 5.0) else 1
 

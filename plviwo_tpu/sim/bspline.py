@@ -105,8 +105,15 @@ def figure8_controls(
     ry: float = 10.0,
     rz: float = 1.0,
     yaw_follow: bool = True,
+    rp_excite: float = 0.0,
+    rp_hz: float = 0.5,
 ):
-    """Car-like figure-8 path control poses (for tests and synthetic benches)."""
+    """Car-like figure-8 path control poses (for tests and synthetic benches).
+
+    rp_excite adds sinusoidal roll/pitch oscillation (amplitude in rad at
+    rp_hz) on top of the path-following yaw — needed by calibration tests:
+    yaw-only rotation leaves parts of the camera extrinsic unobservable.
+    """
     import numpy as np
 
     K = int(duration / dt_knot) + 6
@@ -121,7 +128,16 @@ def figure8_controls(
     for k in range(K):
         yaw = np.arctan2(dy[k], dx[k]) if yaw_follow else 0.0
         c, s = np.cos(yaw), np.sin(yaw)
-        Ts[k, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        if rp_excite > 0:
+            ph = 2 * np.pi * rp_hz * ts[k]
+            r_, p_ = rp_excite * np.sin(ph), rp_excite * np.sin(1.618 * ph)
+            cr, sr = np.cos(r_), np.sin(r_)
+            cp, sp = np.cos(p_), np.sin(p_)
+            Rr = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+            Rp = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+            R = R @ Rp @ Rr
+        Ts[k, :3, :3] = R
         Ts[k, :3, 3] = [x[k], y[k], z[k]]
         Ts[k, 3, 3] = 1.0
     return jnp.asarray(Ts), float(ts[0]), dt_knot

@@ -62,6 +62,9 @@ class SimConfig:
     # gps
     sigma_gps: float = 0.5
     gps_ext_p: tuple = (0.0, 0.0, 0.3)
+    # roll/pitch excitation [rad] added to the figure-8 (calibration tests:
+    # yaw-only motion leaves extrinsic dofs unobservable)
+    rp_excite: float = 0.0
 
 
 class Simulator:
@@ -74,7 +77,8 @@ class Simulator:
             # with duration), which also creates lateral slip that breaks the
             # nonholonomic wheel model
             lap = max(c.duration + 4.0, 60.0)
-            controls = figure8_controls(duration=lap, dt_knot=0.25)
+            controls = figure8_controls(duration=lap, dt_knot=0.25,
+                                        rp_excite=c.rp_excite)
         self.spline = BsplineSE3(*controls)
         self.rng = np.random.default_rng(c.seed)
         self.t_start = max(self.spline.t_min, 0.0)

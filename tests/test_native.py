@@ -62,7 +62,7 @@ def test_export_matches_python_path():
     t_frame = 0.9
     F, O = 16, 8
 
-    n, fids, uv, uvn, s0, s1, lam, valid = ndb.export_msckf(
+    n, fids, uv, uvn, s0, s1, lam, obs_t, valid = ndb.export_msckf(
         clone_t, clone_slot, marg_t, t_frame, 3, F, O)
 
     # python reference assembly (same logic as core/system.py fallback)

@@ -1,0 +1,63 @@
+"""End-to-end A/B: order-3 polynomial interpolation vs linear at low clone
+rates (reference: dynamic cloning + intr_order, SystemManager.cpp:293-312,
+State.cpp:631-973).
+
+At a 4 Hz clone cap with a 10 Hz camera, ~60% of observations update through
+interpolated poses; the cubic path must match or beat the linear path's ATE
+while the filter stays consistent.
+"""
+
+import numpy as np
+import pytest
+
+from plviwo_tpu.config.options import EstimatorOptions
+from plviwo_tpu.core.system import VioSystem
+from plviwo_tpu.ops import lie
+from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+
+def _replay(intr_order: int, duration=12.0, seed=3):
+    cfg = SimConfig(duration=duration, seed=seed, sigma_pix=0.5, n_pts=45)
+    sim = Simulator(cfg)
+    opts = EstimatorOptions()
+    opts.dynamic_cloning = True
+    opts.clone_freq = 4
+    opts.intr_order = intr_order
+    opts.cam.max_msckf = 30
+    opts.cam.sigma_pix = 0.5
+    opts.cam.min_track_length = 4
+    opts.cam.chi2_mult = 5.0
+    sys_ = VioSystem(opts)
+    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    kin0 = sim.gt_kin(imu_t[0])
+    sys_.initialize_from(
+        float(imu_t[0]), lie.rot_2_quat(kin0["R_GtoI"]), kin0["p_IinG"],
+        kin0["v_IinG"], sim.bg_true[0], sim.ba_true[0])
+    cam_iter = iter([(float(t),) + sim.cam_frame(t) for t in sim.cam_times()])
+    next_cam = next(cam_iter, None)
+    for i in range(len(imu_t)):
+        while next_cam is not None and next_cam[0] <= imu_t[i]:
+            sys_.feed_camera(*next_cam)
+            next_cam = next(cam_iter, None)
+        sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+    errs = []
+    for t, q, p in sys_.traj:
+        kin = sim.gt_kin(t)
+        errs.append(np.linalg.norm(p - np.asarray(kin["p_IinG"])))
+    rmse = float(np.sqrt(np.mean(np.asarray(errs) ** 2)))
+    return rmse, sys_
+
+
+@pytest.mark.slow
+def test_order3_at_low_clone_rate():
+    rmse1, sys1 = _replay(intr_order=1)
+    rmse3, sys3 = _replay(intr_order=3)
+    # both must track; cubic must not be worse than linear (tolerance for
+    # stochastic gating differences)
+    assert rmse1 < 1.0 and rmse3 < 1.0, (rmse1, rmse3)
+    assert rmse3 <= rmse1 * 1.15, f"order-3 {rmse3:.3f} vs linear {rmse1:.3f}"
+    # interpolated updates actually happened (clone rate below camera rate)
+    assert sys3.stats["clones"] < 0.75 * len(sys3.traj) + 60
+    assert sys3.stats["updates"] > 10
+    assert sys3.stats["lost_marg_obs"] == 0
