@@ -72,9 +72,11 @@ def ekf_update(cov, H, r, r_diag, mask):
     PHt = cov @ Hm.T  # (D, M)
     S = Hm @ PHt + jnp.diag(Rm)
     S = 0.5 * (S + S.T)
-    cho = jax.scipy.linalg.cho_factor(S, lower=True)
-    # K = P H^T S^-1  ->  K^T = S^-1 H P
-    Kt = jax.scipy.linalg.cho_solve(cho, PHt.T)  # (M, D)
+    # K = P H^T S^-1  ->  K^T = S^-1 H P  (mixed-precision PSD solve: f32
+    # equilibrated factor + f64 refinement — TPU f64 cholesky is ~60x slower)
+    from ..ops.linalg import solve_psd_refined
+
+    Kt = solve_psd_refined(S, PHt.T)  # (M, D)
     K = Kt.T
     dx = K @ rm
 
@@ -103,14 +105,15 @@ def chi2(cov, H, r, r_diag, mask):
 
     (Reference: UpdaterStatistics::Chi2Check, UpdaterStatistics.cpp:39-155.)
     """
+    from ..ops.linalg import solve_psd_refined
+
     m = mask.astype(cov.dtype)
     Hm = H * m[:, None]
     rm = r * m
     Rm = jnp.where(mask, r_diag, 1.0)
     S = Hm @ cov @ Hm.T + jnp.diag(Rm)
     S = 0.5 * (S + S.T)
-    cho = jax.scipy.linalg.cho_factor(S, lower=True)
-    return rm @ jax.scipy.linalg.cho_solve(cho, rm)
+    return rm @ solve_psd_refined(S, rm)
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +312,8 @@ def measurement_compress(H, r, mask):
     Rows with mask False are zeroed first.  Returns (H' (D, D), r' (D,),
     valid (D,) bool).
     """
+    from ..ops.linalg import chol_equilibrated, tri_lower_solve_refined
+
     Hm = H * mask[:, None].astype(H.dtype)
     rm = r * mask.astype(r.dtype)
     M, D = Hm.shape
@@ -316,14 +321,13 @@ def measurement_compress(H, r, mask):
         return Hm, rm, mask
     G = Hm.T @ Hm
     c = Hm.T @ rm
-    # regularize the null directions so the Cholesky exists; the added rows
-    # have r' = 0 there (c lies in range(G)), so they are exact no-ops in the
-    # EKF update.
-    eps = 1e-10 * (1.0 + jnp.max(jnp.diag(G)))
-    L = jnp.linalg.cholesky(G + eps * jnp.eye(D, dtype=H.dtype))
-    rc = jax.lax.linalg.triangular_solve(L, c[:, None], left_side=True, lower=True)[:, 0]
-    Hc = L.T
-    valid = jnp.diag(L) > jnp.sqrt(eps) * 10.0
+    # equilibrated mixed-precision factor (f64 cholesky is emulated on TPU);
+    # the small diagonal jitter regularizes null directions — those rows get
+    # rc = 0 (c lies in range(G)), exact no-ops in the EKF update
+    L, valid = chol_equilibrated(G)
+    rc = tri_lower_solve_refined(L, c)
+    rc = jnp.where(valid, rc, 0.0)
+    Hc = L.T * valid[None, :].astype(H.dtype)
     return Hc, rc, valid
 
 

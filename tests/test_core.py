@@ -267,11 +267,17 @@ class TestNullspaceCompress:
         mask = jnp.ones(M, dtype=bool)
         Hc, rc, valid = ekf.measurement_compress(H, r, mask)
         assert Hc.shape == (D, D)
-        # information must be preserved: H^T H == Hc^T Hc, H^T r == Hc^T rc
-        np.testing.assert_allclose(np.asarray(Hc).T @ np.asarray(Hc),
-                                   np.asarray(H).T @ np.asarray(H), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(Hc).T @ np.asarray(rc),
-                                   np.asarray(H).T @ np.asarray(r), atol=1e-5)
+        # information must be preserved: H^T H == Hc^T Hc, H^T r == Hc^T rc —
+        # to the mixed-precision design tolerance (~3e-6 relative: equilibrated
+        # f32 Cholesky backward error + 3e-6 diagonal jitter; TPU f64 cholesky
+        # is emulated ~60x slower, so this trade is deliberate)
+        G = np.asarray(H).T @ np.asarray(H)
+        scale = np.abs(G).max()
+        np.testing.assert_allclose(np.asarray(Hc).T @ np.asarray(Hc), G,
+                                   atol=1e-5 * scale)
+        cvec = np.asarray(H).T @ np.asarray(r)
+        np.testing.assert_allclose(np.asarray(Hc).T @ np.asarray(rc), cvec,
+                                   atol=1e-5 * scale)
 
 
 class TestImuBuffer:
