@@ -138,6 +138,62 @@ def step_transition(
     return F, Qd
 
 
+def _rk4_local_increments(w1, a1, w2, a2, dt):
+    """Frame-independent RK4 increments for one IMU interval.
+
+    The RK4 of `rk4_mean` decomposes: its orientation increment dq integrates
+    q_dot = 0.5 Omega(w) dq from identity — independent of the carried state —
+    and each velocity stage k_v = R(q)^T (R(dq_stage)^T a) - g is linear in
+    the start rotation.  Returns
+      dq   : (4,) local orientation increment (q_new = dq (x) q),
+      dv_l : (3,) local-frame velocity increment (Dv = R(q)^T dv_l - g dt),
+      dp_l : (3,) local-frame position increment
+             (Dp = v dt + R(q)^T dp_l - g dt^2 (k1+k2+k3 weights)),
+      gp   : scalar dt^2 weight of gravity in Dp.
+    Identical stage math to the reference RK4 (Propagator.cpp:238-316), just
+    reassociated so the time recursion becomes prefix compositions.
+    """
+    dt_safe = jnp.where(dt > 0, dt, 1.0)
+    w_alpha = (w2 - w1) / dt_safe
+    a_jerk = (a2 - a1) / dt_safe
+    dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=w1.dtype)
+
+    def qdot(dq, w):
+        return 0.5 * (lie.omega(w) @ dq[:, None])[:, 0]
+
+    def u_of(dq, a):
+        # R(dq)^T a: the stage accel rotated back to the interval-start frame
+        return lie.quat_2_rot(dq).T @ a
+
+    # k1
+    k1_q = qdot(dq_0, w1) * dt
+    u1 = u_of(dq_0, a1)
+    # k2
+    w_h = w1 + 0.5 * w_alpha * dt
+    a_h = a1 + 0.5 * a_jerk * dt
+    dq_1 = lie.quat_norm(dq_0 + 0.5 * k1_q)
+    k2_q = qdot(dq_1, w_h) * dt
+    u2 = u_of(dq_1, a_h)
+    # k3
+    dq_2 = lie.quat_norm(dq_0 + 0.5 * k2_q)
+    k3_q = qdot(dq_2, w_h) * dt
+    u3 = u_of(dq_2, a_h)
+    # k4
+    w_h = w1 + w_alpha * dt
+    a_h = a1 + a_jerk * dt
+    dq_3 = lie.quat_norm(dq_0 + k3_q)
+    k4_q = qdot(dq_3, w_h) * dt
+    u4 = u_of(dq_3, a_h)
+
+    dq = lie.quat_norm(dq_0 + (k1_q + 2 * k2_q + 2 * k3_q + k4_q) / 6.0)
+    dv_l = (u1 + 2 * u2 + 2 * u3 + u4) / 6.0 * dt
+    # velocity stage feedback into position: k_ip = v_(i-1) dt; expanding the
+    # RK4 combination gives Dp = v dt + dt (k1_v + k2_v + k3_v) / 6
+    dp_l = (u1 + u2 + u3) / 6.0 * dt * dt
+    gp = 0.5 * dt * dt  # the same expansion applied to the -g terms
+    return dq, dv_l, dp_l, gp
+
+
 @partial(jax.jit, static_argnames=())
 def propagate_arrays(
     q, p, v, bg, ba, q_fej, p_fej, v_fej, imu_t, imu_w, imu_a, gravity, sigmas
@@ -148,39 +204,56 @@ def propagate_arrays(
     (dt = 0) for padding.  imu_w/imu_a: (N, 3).  The first entry must sit at
     the current state time (host pre-interpolates boundaries).
 
-    TPU shaping: only the *mean* recursion is a sequential `lax.scan` (tiny
-    quaternion/vector ops); the per-step 15x15 transition/noise matrices are
-    built in one batched pass over all steps and composed with
-    `lax.associative_scan` —
+    TPU shaping: NO sequential recursion at all.  The RK4 mean decomposes
+    into frame-independent per-interval increments (`_rk4_local_increments`)
+    composed by an associative quaternion prefix scan + cumulative sums, and
+    the per-step 15x15 transition/noise matrices are built in one batched
+    pass and folded with a binary tree reduction —
         (A2, Q2) o (A1, Q1) = (A2 A1, A2 Q1 A2^T + Q2)
-    is associative, so the 15x15 matmul chain runs at log2(N) depth instead
-    of N sequential steps.
+    — log2(N) batched-matmul levels instead of N sequential steps.
     """
+    dts = imu_t[1:] - imu_t[:-1]
+    w1 = imu_w[:-1] - bg
+    a1 = imu_a[:-1] - ba
+    w2 = imu_w[1:] - bg
+    a2 = imu_a[1:] - ba
 
-    def mean_body(carry, inp):
-        q, p, v = carry
-        t0, w1, a1, t1, w2, a2 = inp
-        dt = t1 - t0
-        new_q, new_p, new_v = rk4_mean(
-            q, p, v, w1 - bg, a1 - ba, w2 - bg, a2 - ba, dt, gravity)
-        new_q = jnp.where(dt > 0, new_q, q)
-        new_p = jnp.where(dt > 0, new_p, p)
-        new_v = jnp.where(dt > 0, new_v, v)
-        return (new_q, new_p, new_v), (new_q, new_p, new_v)
+    dqs, dv_l, dp_l, gps = jax.vmap(_rk4_local_increments)(w1, a1, w2, a2, dts)
+    pad = dts <= 0
+    id_q = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=q.dtype)
+    dqs = jnp.where(pad[:, None], id_q, dqs)
+    dv_l = jnp.where(pad[:, None], 0.0, dv_l)
+    dp_l = jnp.where(pad[:, None], 0.0, dp_l)
+    gps = jnp.where(pad, 0.0, gps)
+    dts = jnp.where(pad, 0.0, dts)
 
-    inputs = (
-        imu_t[:-1], imu_w[:-1], imu_a[:-1],
-        imu_t[1:], imu_w[1:], imu_a[1:],
+    # prefix-composed orientation: Q_k = dq_k (x) ... (x) dq_1 (JPL multiply
+    # is associative); q_k = Q_k (x) q0
+    Qpre = jax.lax.associative_scan(jax.vmap(lie.quat_multiply), dqs)
+    qs = jax.vmap(lambda dQ: lie.quat_norm(lie.quat_multiply(dQ, q)))(Qpre)
+    # start-of-interval rotations R(q_{k-1})^T in one batch
+    q_starts = jnp.concatenate([q[None], qs[:-1]], axis=0)
+    RT = jax.vmap(lambda qq: lie.quat_2_rot(qq).T)(q_starts)
+
+    # velocity: v_k = v0 + cumsum(R^T dv_l - g dt)
+    dvs = (RT @ dv_l[..., None])[..., 0] - gravity[None, :] * dts[:, None]
+    vs = v[None, :] + jnp.cumsum(dvs, axis=0)
+    v_starts = jnp.concatenate([v[None], vs[:-1]], axis=0)
+    # position: p_k = p0 + cumsum(v_{k-1} dt + R^T dp_l - g gp)
+    dps = (
+        v_starts * dts[:, None]
+        + (RT @ dp_l[..., None])[..., 0]
+        - gravity[None, :] * gps[:, None]
     )
-    (q_end, p_end, v_end), (qs, ps, vs) = jax.lax.scan(
-        mean_body, (q, p, v), inputs)
+    ps = p[None, :] + jnp.cumsum(dps, axis=0)
+
+    q_end, p_end, v_end = qs[-1], ps[-1], vs[-1]
 
     # start-of-step linearization values: the incoming fej for step 0, then
     # the propagated mean (the reference sets fej = est after every step)
     q_start = jnp.concatenate([q_fej[None], qs[:-1]], axis=0)
     p_start = jnp.concatenate([p_fej[None], ps[:-1]], axis=0)
     v_start = jnp.concatenate([v_fej[None], vs[:-1]], axis=0)
-    dts = imu_t[1:] - imu_t[:-1]
     w_hats = imu_w[:-1] - bg
 
     F_all, Qd_all = jax.vmap(
@@ -188,15 +261,22 @@ def propagate_arrays(
             qf, pf, vf, nq, np_, nv, wh, dt, gravity, sigmas)
     )(q_start, p_start, v_start, qs, ps, vs, w_hats, dts)
 
-    def compose(x, y):
-        A1, Q1 = x
-        A2, Q2 = y
-        A = A2 @ A1
-        Q = A2 @ Q1 @ jnp.swapaxes(A2, -1, -2) + Q2
-        return A, 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
-
-    Phi_acc, Qd_acc = jax.lax.associative_scan(compose, (F_all, Qd_all))
-    return q_end, p_end, v_end, Phi_acc[-1], Qd_acc[-1]
+    # binary tree reduction to the total (Phi, Qd): only the product over the
+    # whole window is needed, so a tree (log2(N) batched-matmul levels, N-1
+    # composes) beats associative_scan (which materializes every prefix)
+    n = F_all.shape[0]
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+    eye = jnp.broadcast_to(jnp.eye(15, dtype=F_all.dtype), (n_pad - n, 15, 15))
+    zer = jnp.zeros((n_pad - n, 15, 15), dtype=F_all.dtype)
+    Fs = jnp.concatenate([F_all, eye], axis=0)
+    Qs = jnp.concatenate([Qd_all, zer], axis=0)
+    while Fs.shape[0] > 1:
+        F1, F2 = Fs[0::2], Fs[1::2]  # step 2k applied first, 2k+1 second
+        Q1, Q2 = Qs[0::2], Qs[1::2]
+        Fs = F2 @ F1
+        Qc = F2 @ Q1 @ jnp.swapaxes(F2, -1, -2) + Q2
+        Qs = 0.5 * (Qc + jnp.swapaxes(Qc, -1, -2))
+    return q_end, p_end, v_end, Fs[0], Qs[0]
 
 
 def propagate(state: FilterState, imu_t, imu_w, imu_a, t_end, gravity, sigmas) -> FilterState:
