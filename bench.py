@@ -34,10 +34,8 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    import numpy as np
 
-    from plviwo_tpu.core.layout import StateLayout
-    from plviwo_tpu.core.state import make_state
+    from __graft_entry__ import _batch_args, _example_inputs
     from plviwo_tpu.core.step import fused_step
 
     import os
@@ -50,31 +48,11 @@ def main():
     cam_dtype = (jnp.float32 if os.environ.get("BENCH_CAM_DTYPE", "f32") == "f32"
                  else jnp.float64)
 
-    layout = StateLayout(n_clones=n_clones, n_cams=1)
-    state = make_state(layout, priors={"imu_th": 1e-3, "imu_p": 1e-6,
-                                       "imu_v": 1e-2, "imu_bg": 1e-2, "imu_ba": 1e-2})
-    state = state.replace(
-        time=jnp.asarray(0.0, dtype=jnp.float64),
-        cam_k=state.cam_k.at[0].set(
-            jnp.asarray([300.0, 300.0, 320.0, 240.0, 0, 0, 0, 0], dtype=jnp.float64)
-        ),
-    )
-    rng = np.random.default_rng(0)
-    batched = jax.tree.map(lambda x: jnp.stack([x] * B), state)
-
-    dt = 0.005
-    imu_t = jnp.asarray(np.tile(np.arange(IMU_N) * dt, (B, 1)))
-    imu_w = jnp.asarray(0.01 * rng.normal(size=(B, IMU_N, 3)))
-    imu_a = jnp.asarray(
-        np.array([0.0, 0.0, 9.81]) + 0.01 * rng.normal(size=(B, IMU_N, 3))
-    )
-    t_new = jnp.full((B,), float(imu_t[0, -1]), dtype=jnp.float64)
-    obs_uv = jnp.asarray(rng.uniform(100, 500, size=(B, F, O, 2)))
-    obs_uvn = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, F, O, 2)))
-    obs_slot = jnp.asarray(rng.integers(0, n_clones, size=(B, F, O)), dtype=jnp.int32)
-    obs_valid = jnp.zeros((B, F, O), dtype=bool)
-    gravity = jnp.asarray([0.0, 0.0, 9.81])
-    sigmas = (1.7e-4, 2.0e-3, 1.9e-5, 3.0e-3)
+    # geometrically consistent observations (real accepted rows, shared with
+    # the driver's multichip dryrun — VERDICT round-1 weak item 2)
+    args = _example_inputs(n_clones=n_clones, F=F, O=O, imu_n=IMU_N)
+    (batched, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn,
+     obs_slot, obs_valid, gravity, sigmas) = _batch_args(args, B)
 
     @jax.jit
     def step_batch(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid):
@@ -86,9 +64,11 @@ def main():
         )(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid)
 
     # warmup / compile
-    out, _ = step_batch(batched, imu_t, imu_w, imu_a, t_new,
-                        obs_uv, obs_uvn, obs_slot, obs_valid)
+    out, metrics = step_batch(batched, imu_t, imu_w, imu_a, t_new,
+                              obs_uv, obs_uvn, obs_slot, obs_valid)
     jax.block_until_ready(out.p)
+    accepted0 = int(jnp.sum(metrics["accepted"]))
+    assert accepted0 > 0, "bench step accepted no features"
 
     n_iter = 20
     t0 = time.perf_counter()
@@ -100,7 +80,8 @@ def main():
 
     fps = B * n_iter / wall
     print(json.dumps({
-        "metric": f"filter frames/s per chip (batched fused step, B={B})",
+        "metric": f"filter frames/s per chip (batched fused step, B={B}, "
+                  f"accepted={accepted0})",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / (REFERENCE_FPS * TARGET_MULT), 3),
