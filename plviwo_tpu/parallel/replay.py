@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.step import fused_step
+from ..core.step import fused_step, fused_step_full
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -41,6 +41,47 @@ def batched_step(states, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn, obs_slot,
             st, a, b, c, d, e, f, g, h, gravity, sigmas, sigma_pix, chi2_mult
         )
     )(states, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn, obs_slot, obs_valid)
+
+
+def batched_full_step(states, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn,
+                      obs_slot, obs_valid, line_uv, line_uvn, line_slot,
+                      line_valid, wheel_t, wheel_m1, wheel_m2, wheel_valid,
+                      gravity, sigmas, sigma_pix, chi2_mult, sigma_line,
+                      wheel_noise, model: int = 0, window_size: float = 1.0):
+    """vmap of the full PL-VIWO step (points + lines + wheel) over sequences."""
+    step = partial(fused_step_full, model=model, window_size=window_size)
+    return jax.vmap(
+        lambda st, a, b, c, d, e, f, g, h, li, lj, lk, ll, wa, wb, wc, wd: step(
+            st, a, b, c, d, e, f, g, h, li, lj, lk, ll, wa, wb, wc, wd,
+            gravity, sigmas, sigma_pix, chi2_mult, sigma_line, wheel_noise
+        )
+    )(states, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn, obs_slot, obs_valid,
+      line_uv, line_uvn, line_slot, line_valid, wheel_t, wheel_m1, wheel_m2,
+      wheel_valid)
+
+
+def sharded_full_step_fn(mesh: Mesh, model: int = 0, window_size: float = 1.0,
+                         axis: str = "dp"):
+    """pjit-ed `batched_full_step` with the sequence axis sharded over `mesh`
+    (same pattern as `sharded_step_fn`)."""
+
+    def stepper(states, *args):
+        new_states, metrics = batched_full_step(
+            states, *args, model=model, window_size=window_size)
+        agg = {k: jnp.sum(v) for k, v in metrics.items()}
+        return new_states, agg
+
+    shard = NamedSharding(mesh, P(axis))
+    N_BATCHED = 16  # per-sequence arrays incl. line + wheel stacks
+
+    def with_sharding(states, *args):
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+        args = list(args)
+        for i in range(N_BATCHED):
+            args[i] = jax.device_put(args[i], shard)
+        return jax.jit(stepper)(states, *args)
+
+    return with_sharding
 
 
 def sharded_step_fn(mesh: Mesh, model: int = 0, window_size: float = 1.0,

@@ -198,15 +198,15 @@ def _line_system_single(
     # Jacobians at FEJ via jacfwd on (pose-tangent(6), line-tangent(4))
     def h(dx6, d4, q, p, s):
         dq = lie.quat_norm(
-            jnp.concatenate([0.5 * dx6[0:3], jnp.ones(1, dtype=F64)])
+            jnp.concatenate([0.5 * dx6[0:3], jnp.ones(1, dtype=n_G.dtype)])
         )
         qq = lie.quat_multiply(dq, q)
         pp = p + dx6[3:6]
         n2, v2 = plucker.apply_orthonormal_delta(n_G, v_G, d4)
         return _line_residual(n2, v2, qq, pp, cam_q, cam_p, cam_k, s)
 
-    z6 = jnp.zeros(6, dtype=F64)
-    z4 = jnp.zeros(4, dtype=F64)
+    z6 = jnp.zeros(6, dtype=n_G.dtype)
+    z4 = jnp.zeros(4, dtype=n_G.dtype)
     Jp = jax.vmap(
         lambda q, p, s: jax.jacfwd(h, argnums=0)(z6, z4, q, p, s)
     )(q_fe, p_fe, seg_uv)  # (O,2,6)
@@ -218,9 +218,9 @@ def _line_system_single(
     H_pose = Jp
     Hl = Jl.reshape(2 * O, 4)
 
-    onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=F64)  # (O,C)
+    onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=n_G.dtype)  # (O,C)
     Hc = (onehot[:, None, :, None] * H_pose[:, :, None, :]).reshape(O, 2, -1)
-    Hx = jnp.zeros((O, 2, D), dtype=F64)
+    Hx = jnp.zeros((O, 2, D), dtype=n_G.dtype)
     Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
     Hx = Hx.reshape(2 * O, D)
     rowmask = jnp.repeat(obs_valid, 2)
