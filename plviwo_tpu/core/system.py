@@ -74,6 +74,7 @@ class VioSystem:
         self.distortion_model = cam_ops.RADTAN
         # wheel
         self.wheel_buf = wheel_up.WheelBuffer()
+        self.clone_wv = {}  # clone time -> (w_hat, v) for the wheel dt column
         self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
         self.last_wheel_clone_t = None
         self._iw_init = None
@@ -362,6 +363,17 @@ class VioSystem:
             marg_times = self._next_marg_times(t_frame)
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
+            # record (body rate, global velocity) at the clone time for the
+            # wheel dt-calibration column (the reference's CPI side-band w/v,
+            # UpdaterWheel.cpp:400-414; here the propagated state at the clone
+            # time is exactly the CPI reconstruction)
+            if self.opts.wheel.enabled and self.opts.wheel.do_calib_dt:
+                wa = self.imu_buf.at(t_frame)
+                if wa is not None:
+                    self.clone_wv[t_frame] = (
+                        wa[0] - np.asarray(self.state.bg),
+                        np.asarray(self.state.v).copy(),
+                    )
             self._msckf_update(t_frame, marg_times)
             if self.layout.max_slam > 0:
                 self._slam_update(t_frame)
@@ -826,6 +838,18 @@ class VioSystem:
             ts, m1s, m2s = sel
             st = self.state
             slot0 = tmap[t0]
+            # dt-calibration column needs (w, v) at both clone times
+            # (reference: CPI w/v, UpdaterWheel.cpp:400-414)
+            do_dt = (op.do_calib_dt and lo.use_wheel
+                     and t0 in self.clone_wv and t1 in self.clone_wv)
+            if do_dt:
+                w0v0, w1v1 = self.clone_wv[t0], self.clone_wv[t1]
+                dt_args = dict(
+                    wheel_dt_off=lo.wheel_dt, do_calib_dt=True,
+                    w0=jnp.asarray(w0v0[0]), v0=jnp.asarray(w0v0[1]),
+                    w1=jnp.asarray(w1v1[0]), v1=jnp.asarray(w1v1[1]))
+            else:
+                dt_args = dict(wheel_dt_off=0, do_calib_dt=False)
             planar = self.wheel_type in (
                 wheel_up.W2D_ANG, wheel_up.W2D_LIN, wheel_up.W2D_CEN)
             if planar:
@@ -837,7 +861,7 @@ class VioSystem:
                     st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
                     jnp.asarray(slot0), jnp.asarray(slot1),
                     st.wheel_q, st.wheel_p, th_m, xy_m,
-                    lo.n_clones, lo.clone_off, lo.dim)
+                    lo.n_clones, lo.clone_off, lo.dim, **dt_args)
                 rows = 3
             else:
                 R_m, p_m, Cov, dR_di, dp_di = wheel_up.preintegrate_3d(
@@ -852,7 +876,7 @@ class VioSystem:
                     lo.n_clones, lo.clone_off, lo.dim,
                     lo.wheel_ext if lo.use_wheel else 0,
                     lo.wheel_int if lo.use_wheel else 0,
-                    op.do_calib_ext, op.do_calib_int,
+                    op.do_calib_ext, op.do_calib_int, **dt_args,
                 )
                 rows = 6
             Cov_reg = Cov + 1e-12 * jnp.eye(rows, dtype=F64)
@@ -868,6 +892,9 @@ class VioSystem:
                 self.stats["wheel_reject"] += 1
             self.last_wheel_clone_t = t1
         self.wheel_buf.prune(self.last_wheel_clone_t - toff - 0.5)
+        stale = [t for t in self.clone_wv if t < self.last_wheel_clone_t - 1e-9]
+        for t in stale:
+            del self.clone_wv[t]
 
     # ------------------------------------------------------------------
     # MSCKF camera update

@@ -193,6 +193,24 @@ def jr_so3(w):
     return jl_so3(-w)
 
 
+def gamma2_so3(w):
+    """Second-order SO(3) integral Gamma2(u) = int_0^1 int_0^s exp(u^ t) dt ds
+    = 1/2 I + ((th - sin th)/th^3) u^ + ((th^2/2 + cos th - 1)/th^4) u^^2.
+
+    With u = omega*dt:  int_0^dt int_0^s exp(skew(omega) tau) dtau ds
+    = dt^2 Gamma2(u) — the closed-form double integral CpiV2-style exact
+    preintegration needs (reference: ov_core CpiV2's analytic position
+    integrals, cpi/CpiV2.cpp)."""
+    th2, th, small = _theta2_safe(w)
+    sk = skew(w)
+    a = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / (th * th * th))
+    b = jnp.where(small, 1.0 / 24.0 - th2 / 720.0,
+                  (th * th / 2.0 + jnp.cos(th) - 1.0) / (th2 * th2))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
+    return 0.5 * eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
+
+
 def jl_so3_inv(w):
     """Inverse left Jacobian of SO(3)."""
     th2, th, small = _theta2_safe(w)

@@ -107,24 +107,37 @@ def figure8_controls(
     yaw_follow: bool = True,
     rp_excite: float = 0.0,
     rp_hz: float = 0.5,
+    speed_mod: float = 0.0,
+    speed_hz: float = 0.3,
 ):
     """Car-like figure-8 path control poses (for tests and synthetic benches).
 
     rp_excite adds sinusoidal roll/pitch oscillation (amplitude in rad at
     rp_hz) on top of the path-following yaw — needed by calibration tests:
     yaw-only rotation leaves parts of the camera extrinsic unobservable.
+
+    speed_mod (< 1) warps progress along the same path with a sinusoidal
+    time-dilation (speed varies by +-speed_mod at speed_hz) — longitudinal
+    acceleration + yaw-rate changes make sensor time offsets observable
+    (constant-speed paths are invariant under a time shift).  The path and
+    its tangent (heading) are unchanged; only the pacing varies, so the
+    nonholonomic wheel model still holds.
     """
     import numpy as np
 
     K = int(duration / dt_knot) + 6
     ts = (np.arange(K) - 2) * dt_knot
+    tau = ts  # path parameter; == time unless speed-warped
+    if speed_mod > 0.0:
+        ph = 2 * np.pi * speed_hz
+        tau = ts + speed_mod * np.sin(ph * ts) / ph
     w = 2 * np.pi / duration
-    x = rx * np.sin(w * ts)
-    y = ry * np.sin(2 * w * ts)
-    z = rz * np.sin(w * ts * 0.5) * 0.2
+    x = rx * np.sin(w * tau)
+    y = ry * np.sin(2 * w * tau)
+    z = rz * np.sin(w * tau * 0.5) * 0.2
     Ts = np.zeros((K, 4, 4))
-    dx = rx * w * np.cos(w * ts)
-    dy = 2 * ry * w * np.cos(2 * w * ts)
+    dx = rx * w * np.cos(w * tau)
+    dy = 2 * ry * w * np.cos(2 * w * tau)
     for k in range(K):
         yaw = np.arctan2(dy[k], dx[k]) if yaw_follow else 0.0
         c, s = np.cos(yaw), np.sin(yaw)

@@ -179,18 +179,28 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
 
 
 @partial(jax.jit, static_argnames=("n_clones", "clone_off", "D", "wheel_ext_off",
-                                   "wheel_int_off", "do_calib_ext", "do_calib_int"))
+                                   "wheel_int_off", "wheel_dt_off",
+                                   "do_calib_ext", "do_calib_int",
+                                   "do_calib_dt"))
 def linear_system_3d(
     clone_q, clone_p, clone_q_fej, clone_p_fej, slot0, slot1,
     wheel_q, wheel_p, R_meas, p_meas, dR_di, dp_di,
     n_clones: int, clone_off: int, D: int,
     wheel_ext_off: int, wheel_int_off: int,
     do_calib_ext: bool, do_calib_int: bool,
+    wheel_dt_off: int = 0, do_calib_dt: bool = False,
+    w0=None, v0=None, w1=None, v1=None,
 ):
     """FEJ linear system for the 3D relative-pose wheel measurement.
 
     Returns H (6, D), res (6,).  (Reference: compute_linear_system_3D,
-    UpdaterWheel.cpp:328-422.)
+    UpdaterWheel.cpp:328-422.)  When do_calib_dt, the time-offset column is
+    the clone-rate chain H_dt = H_th0 w0 + H_p0 v0 + H_th1 w1 + H_p1 v1
+    (UpdaterWheel.cpp:400-414) with (w_i, v_i) the IMU body rate and global
+    velocity at the clone times — the reference reads them from its CPI
+    side-band (`state->cpis`); here the system records them at clone
+    creation, which is the same quantity (the propagated state at the clone
+    time IS the CPI reconstruction, Propagator.cpp:73).
     """
     R_ItoO = lie.quat_2_rot(wheel_q)
     p_IinO = wheel_p
@@ -247,6 +257,12 @@ def linear_system_3d(
     if do_calib_int:
         H = H.at[0:3, wheel_int_off : wheel_int_off + 3].set(-dR_di)
         H = H.at[3:6, wheel_int_off : wheel_int_off + 3].set(-dp_di)
+    if do_calib_dt:
+        h_dt = jnp.concatenate([
+            dzr_dth0 @ w0 + dzr_dth1 @ w1,
+            dzp_dth0 @ w0 + dzp_dp0 @ v0 + dzp_dth1 @ w1 + dzp_dp1 @ v1,
+        ])
+        H = H.at[:, wheel_dt_off].set(h_dt)
     return H, res
 
 
@@ -334,15 +350,20 @@ def preintegrate_2d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     return th, jnp.stack([x, y]), Cov
 
 
-@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D"))
+@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D",
+                                   "wheel_dt_off", "do_calib_dt"))
 def linear_system_2d(
     clone_q, clone_p, clone_q_fej, clone_p_fej, slot0, slot1,
     wheel_q, wheel_p, th_meas, xy_meas,
     n_clones: int, clone_off: int, D: int,
+    wheel_dt_off: int = 0, do_calib_dt: bool = False,
+    w0=None, v0=None, w1=None, v1=None,
 ):
     """3-row FEJ linear system for the planar relative-motion measurement
     (reference: compute_linear_system_2D, UpdaterWheel.cpp:223-322), with
-    jacfwd Jacobians: rows [theta_z, x, y]."""
+    jacfwd Jacobians: rows [theta_z, x, y].  The optional time-offset column
+    is the clone-rate chain H_dt = J0 [w0; v0] + J1 [w1; v1]
+    (UpdaterWheel.cpp:302-315; see linear_system_3d for the (w, v) source)."""
     R_ItoO = lie.quat_2_rot(wheel_q)
     p_OinI = -R_ItoO.T @ wheel_p
     Lam = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=F64)
@@ -374,6 +395,9 @@ def linear_system_2d(
           + onehot1[None, :, None] * J1[:, None, :]).reshape(3, 6 * n_clones)
     H = jnp.zeros((3, D), dtype=F64)
     H = H.at[:, clone_off : clone_off + 6 * n_clones].set(Hc)
+    if do_calib_dt:
+        h_dt = J0 @ jnp.concatenate([w0, v0]) + J1 @ jnp.concatenate([w1, v1])
+        H = H.at[:, wheel_dt_off].set(h_dt)
     return H, res
 
 

@@ -123,6 +123,85 @@ class TestLinearSystem:
                     err_msg=f"H column clone{slot}+{i}",
                 )
 
+    def test_dt_column_fd(self):
+        """The time-offset column equals the clone-rate chain: advancing both
+        clone poses along their (w, v) rates by eps changes the residual by
+        -H_dt * eps (r = z - h; a +eps toff error means the measurement covers
+        poses at t + eps, reference UpdaterWheel.cpp:400-414)."""
+        lo, clone_q, clone_p, wheel_q, wheel_p = self._setup()
+        rng = np.random.default_rng(7)
+        slot0, slot1 = jnp.asarray(0), jnp.asarray(1)
+        w0, v0, w1, v1 = (jnp.asarray(rng.normal(size=3)) for _ in range(4))
+        R_ItoO = lie.quat_2_rot(wheel_q)
+        p_OinI = -R_ItoO.T @ wheel_p
+        R0 = lie.quat_2_rot(clone_q[0]); R1 = lie.quat_2_rot(clone_q[1])
+        R_meas = R_ItoO @ R1 @ R0.T @ R_ItoO.T
+        p_meas = R_ItoO @ R0 @ (
+            clone_p[1] + R1.T @ p_OinI - clone_p[0] - R0.T @ p_OinI)
+        z33 = jnp.zeros((3, 3))
+
+        def system(cq, cp, dt_col):
+            return wheel_up.linear_system_3d(
+                cq, cp, cq, cp, slot0, slot1, wheel_q, wheel_p,
+                R_meas, p_meas, z33, z33,
+                lo.n_clones, lo.clone_off, lo.dim, lo.wheel_ext, lo.wheel_int,
+                False, False, wheel_dt_off=lo.wheel_dt, do_calib_dt=dt_col,
+                w0=w0, v0=v0, w1=w1, v1=v1,
+            )
+
+        H, res0 = system(clone_q, clone_p, True)
+        eps = 1e-6
+
+        def advance(q, p, w, v):
+            dq = lie.quat_norm(jnp.concatenate([0.5 * w * eps, jnp.ones(1)]))
+            return lie.quat_multiply(dq, q), p + v * eps
+
+        q0n, p0n = advance(clone_q[0], clone_p[0], w0, v0)
+        q1n, p1n = advance(clone_q[1], clone_p[1], w1, v1)
+        cq = clone_q.at[0].set(q0n).at[1].set(q1n)
+        cp = clone_p.at[0].set(p0n).at[1].set(p1n)
+        _, res_eps = system(cq, cp, False)
+        fd = -(np.asarray(res_eps) - np.asarray(res0)) / eps
+        np.testing.assert_allclose(
+            np.asarray(H)[:, lo.wheel_dt], fd, atol=2e-5)
+
+    def test_dt_column_fd_2d(self):
+        """Same FD identity for the planar 3-row system."""
+        lo, clone_q, clone_p, wheel_q, wheel_p = self._setup()
+        rng = np.random.default_rng(8)
+        slot0, slot1 = jnp.asarray(0), jnp.asarray(1)
+        w0, v0, w1, v1 = (jnp.asarray(rng.normal(size=3)) for _ in range(4))
+        # consistent measurement at the current state
+        H0, res_at = wheel_up.linear_system_2d(
+            clone_q, clone_p, clone_q, clone_p, slot0, slot1,
+            wheel_q, wheel_p, jnp.asarray(0.0), jnp.zeros(2),
+            lo.n_clones, lo.clone_off, lo.dim)
+        th_meas = -res_at[0]  # res = meas - pred with meas = 0
+        xy_meas = -res_at[1:]
+
+        def system(cq, cp, dt_col):
+            return wheel_up.linear_system_2d(
+                cq, cp, cq, cp, slot0, slot1, wheel_q, wheel_p,
+                th_meas, xy_meas, lo.n_clones, lo.clone_off, lo.dim,
+                wheel_dt_off=lo.wheel_dt, do_calib_dt=dt_col,
+                w0=w0, v0=v0, w1=w1, v1=v1)
+
+        H, res0 = system(clone_q, clone_p, True)
+        eps = 1e-6
+
+        def advance(q, p, w, v):
+            dq = lie.quat_norm(jnp.concatenate([0.5 * w * eps, jnp.ones(1)]))
+            return lie.quat_multiply(dq, q), p + v * eps
+
+        q0n, p0n = advance(clone_q[0], clone_p[0], w0, v0)
+        q1n, p1n = advance(clone_q[1], clone_p[1], w1, v1)
+        cq = clone_q.at[0].set(q0n).at[1].set(q1n)
+        cp = clone_p.at[0].set(p0n).at[1].set(p1n)
+        _, res_eps = system(cq, cp, False)
+        fd = -(np.asarray(res_eps) - np.asarray(res0)) / eps
+        np.testing.assert_allclose(
+            np.asarray(H)[:, lo.wheel_dt], fd, atol=2e-5)
+
 
 @pytest.mark.slow
 def test_viwo_e2e_with_wheel():
@@ -180,3 +259,76 @@ def test_viwo_e2e_with_wheel():
     rmse = float(np.sqrt(np.mean(np.square(errs))))
     assert sys_.stats["wheel_accept"] > 30, sys_.stats
     assert rmse < 1.0, f"VIWO RMSE {rmse}"
+
+
+@pytest.mark.slow
+def test_wheel_dt_recovery():
+    """Online wheel time-offset calibration: wheel stream delayed by a true
+    offset; do_calib_dt must recover it through the CPI-rate dt column
+    (reference: UpdaterWheel.cpp:400-414 + the state's cpis side-band)."""
+    from plviwo_tpu.config.options import EstimatorOptions
+    from plviwo_tpu.core.system import VioSystem
+    from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+    from plviwo_tpu.sim.bspline import figure8_controls
+
+    dt_true = 0.03  # wheel labels = IMU time - dt_true
+    cfg = SimConfig(duration=15.0, seed=4, sigma_pix=0.5, n_pts=40)
+    # speed-modulated pacing: constant-speed paths are time-shift invariant,
+    # so the offset needs longitudinal acceleration to be observable
+    controls = figure8_controls(duration=max(cfg.duration + 4.0, 60.0),
+                                dt_knot=0.25, speed_mod=0.55, speed_hz=0.4)
+    sim = Simulator(cfg, controls=controls)
+    opts = EstimatorOptions()
+    opts.cam.max_msckf = 25
+    opts.cam.sigma_pix = 0.5
+    opts.cam.min_track_length = 4
+    opts.cam.chi2_mult = 5.0
+    opts.wheel.enabled = True
+    opts.wheel.type = "Wheel3DAng"
+    opts.wheel.noise_w = 0.05
+    opts.wheel.noise_v = 0.05
+    opts.wheel.noise_p = 0.02
+    opts.wheel.intrinsics = [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base]
+    opts.wheel.chi2_mult = 10.0
+    opts.wheel.do_calib_dt = True
+    opts.wheel.init_cov_dt = 0.05
+
+    sys_ = VioSystem(opts)
+    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+    sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
+                               [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
+
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    kin0 = sim.gt_kin(imu_t[0])
+    q0 = lie.rot_2_quat(kin0["R_GtoI"])
+    sys_.initialize_from(float(imu_t[0]), q0, kin0["p_IinG"], kin0["v_IinG"],
+                         sim.bg_true[0], sim.ba_true[0])
+
+    cam_ts = sim.cam_times()
+    cam_frames = iter([(float(t),) + sim.cam_frame(t) for t in cam_ts])
+    next_cam = next(cam_frames, None)
+    wheel_ts = sim.wheel_times()
+    # stream labeled in the (delayed) wheel clock: label = t - dt_true
+    wheel_iter = iter(
+        [(float(t) - dt_true,) + sim.wheel_sample(t) for t in wheel_ts])
+    next_wheel = next(wheel_iter, None)
+
+    for i in range(len(imu_t)):
+        while next_wheel is not None and next_wheel[0] <= imu_t[i]:
+            sys_.feed_wheel(*next_wheel)
+            next_wheel = next(wheel_iter, None)
+        while next_cam is not None and next_cam[0] <= imu_t[i]:
+            sys_.feed_camera(next_cam[0], next_cam[1], next_cam[2])
+            next_cam = next(cam_frames, None)
+        sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+
+    dt_est = float(sys_.state.wheel_dt)
+    dt_std = float(np.sqrt(np.asarray(
+        sys_.state.cov)[sys_.layout.wheel_dt, sys_.layout.wheel_dt]))
+    assert sys_.stats["wheel_accept"] > 30, sys_.stats
+    err = abs(dt_est - dt_true)
+    assert err < 0.015, (
+        f"wheel dt not recovered: est {dt_est*1e3:.1f} ms vs true "
+        f"{dt_true*1e3:.1f} ms (std {dt_std*1e3:.1f} ms)")
+    assert err < 3.5 * dt_std + 0.005, (dt_est, dt_std)
