@@ -6,13 +6,16 @@ Rebuild of `PL-VIWO/src/update/gps/UpdaterGPS.*` + `MathGPS.h` (SURVEY.md
 whole-state rotation into ENU, and per-fix 3-DoF position updates with a
 2-D fallback when the 3-D residual is chi2-rejected.
 
-Round-1 simplification vs the reference (documented): instead of the
-delayed-initialization of a `trans_WtoE` state followed by covariance
-transform + marginalization (UpdaterGPS.cpp:338-516), we least-squares align,
-rotate the state + covariance, and inflate the covariance by the alignment
-uncertainty.  The net filter behavior matches (state expressed in ENU with
-alignment uncertainty accounted); the full delayed-init variant is the
-refinement path.
+Initialization follows the reference's full flow (UpdaterGPS.cpp:338-516):
+Horn 4-DoF initial guess -> stacked delayed-initialization linear system over
+all covered fixes (`ekf.delayed_init` = StateHelper::initialize's QR split:
+the transform enters the state with its estimated covariance + cross
+covariance, and the surplus rows update the existing states) -> whole-state
+rotation into ENU with the covariance transform carrying the trans_WtoE
+columns as common-mode terms -> marginalization of the transform.  One
+documented divergence: the reference drops SLAM landmarks at the transform
+(its marginalize_slam call); here they are rotated with their own
+common-mode columns and kept.
 """
 
 from __future__ import annotations
@@ -137,6 +140,92 @@ def transform_state_to_enu(state, R_WtoE, p_WinE):
     return new.replace(cov=0.5 * (cov + cov.T))
 
 
+def transform_state_to_enu_marg_trans(state):
+    """Rotate the whole state by its estimated `trans_WtoE` and marginalize
+    the transform (reference: transform_state_to_ENU, UpdaterGPS.cpp:457-516).
+
+    The covariance transform is x_E = f(x_W, n) with n = [dpsi, dt] the
+    transform's error: J carries R_z(psi) on the position/velocity/landmark
+    blocks, identity on attitude/bias/calib blocks, and the trans_WtoE
+    COLUMNS as common-mode terms (a yaw/translation error shifts every
+    global quantity coherently).  The transform's own rows are then dropped
+    (marginalized) and its mean reset to identity.
+    """
+    lo = state.layout
+    yaw = state.wtoe_th
+    t = state.wtoe_p
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], dtype=F64)
+    q_rot = lie.rot_2_quat(R.T)
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype=F64)
+
+    def rot_q(q):
+        return lie.quat_multiply(q, q_rot)
+
+    def rot_p(p):
+        return (R @ p[..., :, None])[..., 0] + t
+
+    def rot_v(v):
+        return (R @ v[..., :, None])[..., 0]
+
+    new = state.replace(
+        q=rot_q(state.q), q_fej=rot_q(state.q_fej),
+        p=rot_p(state.p), p_fej=rot_p(state.p_fej),
+        v=rot_v(state.v), v_fej=rot_v(state.v_fej),
+        clone_q=rot_q(state.clone_q), clone_q_fej=rot_q(state.clone_q_fej),
+        clone_p=rot_p(state.clone_p), clone_p_fej=rot_p(state.clone_p_fej),
+        slam_p=jnp.where(state.slam_valid[:, None], rot_p(state.slam_p),
+                         state.slam_p),
+        slam_p_fej=jnp.where(state.slam_valid[:, None],
+                             rot_p(state.slam_p_fej), state.slam_p_fej),
+    )
+
+    D = lo.dim
+    w = lo.wtoe_off
+    J = jnp.eye(D, dtype=F64)
+
+    def set_pos_rows(J, s, p_E, with_t=True):
+        """Rows of a rotated position: R on its own block + trans columns."""
+        J = J.at[s : s + 3, s : s + 3].set(R)
+        J = J.at[s : s + 3, w].set(jnp.cross(ez, p_E - t))
+        if with_t:
+            J = J.at[s : s + 3, w + 1 : w + 4].set(jnp.eye(3, dtype=F64))
+        return J
+
+    def set_th_rows(J, s, q_new):
+        # JPL local attitude error is frame-invariant under the right-multiplied
+        # yaw; the transform's dpsi enters along the body-frame z axis
+        J = J.at[s : s + 3, w].set(lie.quat_2_rot(q_new) @ ez)
+        return J
+
+    J = set_th_rows(J, lo.IMU_TH, new.q)
+    J = set_pos_rows(J, lo.IMU_P, new.p)
+    J = J.at[lo.IMU_V : lo.IMU_V + 3, lo.IMU_V : lo.IMU_V + 3].set(R)
+    J = J.at[lo.IMU_V : lo.IMU_V + 3, w].set(jnp.cross(ez, new.v))
+    for i in range(lo.n_clones):
+        sc = lo.clone(i)
+        J = set_th_rows(J, sc, new.clone_q[i])
+        J = set_pos_rows(J, sc + 3, new.clone_p[i])
+    valid6 = jnp.repeat(state.clone_valid, 6).astype(F64)
+    J = J.at[lo.clone_off : lo.clone_off + 6 * lo.n_clones, w : w + 4].multiply(
+        valid6[:, None])
+    for i in range(lo.max_slam):
+        ss = lo.slam(i)
+        J = set_pos_rows(J, ss, new.slam_p[i])
+    if lo.max_slam > 0:
+        valid3 = jnp.repeat(state.slam_valid, 3).astype(F64)
+        J = J.at[lo.slam_off : lo.slam_off + 3 * lo.max_slam, w : w + 4].multiply(
+            valid3[:, None])
+    # drop the transform's own rows (marginalize after the transform)
+    J = J.at[w : w + 4, :].set(0.0)
+    cov = J @ state.cov @ J.T
+    cov = 0.5 * (cov + cov.T)
+    return new.replace(
+        wtoe_th=jnp.asarray(0.0, dtype=F64), wtoe_p=jnp.zeros(3, dtype=F64),
+        cov=cov,
+    )
+
+
 @jax.jit
 def gps_linear_system(
     clone_q, clone_p, clone_q_fej, clone_p_fej,
@@ -255,7 +344,7 @@ class GpsUpdater:
         if dist < self.op.init_distance:
             return
         # build correspondences at fix times
-        p_W, p_E = [], []
+        p_W, p_E, itps = [], [], []
         st = system.state
         ext = np.asarray(st.gps_p[0]) if self.layout.n_gps > 0 else np.zeros(3)
         for t, p in covered:
@@ -269,6 +358,7 @@ class GpsUpdater:
             )
             p_W.append(np.asarray(p_t) + np.asarray(R_t).T @ ext)
             p_E.append(p)
+            itps.append(itp)
         if len(p_W) < 3:
             return
         R, t_al, yaw, rms = horn_4dof(np.asarray(p_W), np.asarray(p_E))
@@ -276,54 +366,73 @@ class GpsUpdater:
             # decimate like the reference's failed-init path
             self.pending = self.pending[::2]
             return
-        from .gps import transform_state_to_enu  # self-import safe
 
-        system.state = transform_state_to_enu(system.state, R, t_al)
-        # Inflate the covariance by the alignment uncertainty as a COMMON-MODE
-        # rank-4 term P += J Sigma J^T with alignment error (dpsi, dt):
-        # a yaw/translation error of the W->E transform shifts every global
-        # quantity coherently, so the uncertainty must be fully correlated —
-        # this is the net effect of the reference's trans_WtoE delayed-init +
-        # whole-state transform + marginalization (UpdaterGPS.cpp:338-516).
-        # (A diagonal inflation would decorrelate clones and make later GPS
-        # corrections unable to move the common mode.)
+        # --- delayed initialization of the 4-DoF transform (reference:
+        # construct_init_linsys + StateHelper::initialize,
+        # UpdaterGPS.cpp:338-455).  Model per fix:
+        #   p_E = R_z(psi_hat + dpsi)(p_W + dp_W(dx)) + t_hat + dt + n
+        # => r_i = p_E_i - (R_hat p_W_i + t_hat)
+        #        = [ez x (R_hat p_W_i) | I3] [dpsi; dt] + R_hat dp_W_i + n ---
         lo = self.layout
-        st = system.state
-        spread = float(np.sqrt(np.mean(np.sum(
-            (np.asarray(p_E) - np.asarray(p_E).mean(0)) ** 2, axis=1))))
-        sigma_yaw = max(rms / max(spread, 1.0), 1e-3)
-        sigma_t = max(rms / np.sqrt(max(len(p_E), 1)), self.op.noise * 0.5)
-        ez = jnp.asarray([0.0, 0.0, 1.0], dtype=F64)
-        J = jnp.zeros((lo.dim, 4), dtype=F64)
+        if lo.n_gps == 0:
+            return  # no wtoe block allocated; cannot estimate the transform
+        n_fix = len(p_W)
+        ez = np.array([0.0, 0.0, 1.0])
+        Hx = np.zeros((3 * n_fix, lo.dim))
+        Hn = np.zeros((3 * n_fix, 4))
+        r = np.zeros(3 * n_fix)
+        ext_j = st.gps_p[0]
+        for k, ((t, p_e), pw, (s0, s1, lam)) in enumerate(
+                zip(covered, p_W, itps)):
+            H12, _ = gps_linear_system(
+                st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+                jnp.asarray(s0), jnp.asarray(s1), jnp.asarray(lam),
+                ext_j, jnp.asarray(pw),
+            )
+            rows = slice(3 * k, 3 * k + 3)
+            Hx[rows, lo.clone(s0) : lo.clone(s0) + 6] += R @ np.asarray(H12[:, 0:6])
+            Hx[rows, lo.clone(s1) : lo.clone(s1) + 6] += R @ np.asarray(H12[:, 6:12])
+            Hn[rows, 0] = np.cross(ez, R @ pw)
+            Hn[rows, 1:4] = np.eye(3)
+            r[rows] = p_e - (R @ pw + t_al)
 
-        def jp(p):  # d p_E / d(dpsi, dt)
-            return jnp.concatenate([jnp.cross(ez, p - jnp.asarray(t_al))[:, None],
-                                    jnp.eye(3, dtype=F64)], axis=1)
+        st = st.replace(wtoe_th=jnp.asarray(yaw, dtype=F64),
+                        wtoe_p=jnp.asarray(t_al, dtype=F64))
+        r_diag = jnp.full(3 * n_fix, self.op.noise**2, dtype=F64)
+        new_cov, dx_full, dn, _, _, _ = ekf.delayed_init(
+            st.cov, jnp.asarray(Hx), jnp.asarray(Hn), jnp.asarray(r), r_diag,
+            lo.wtoe_off, 4)
+        # sanity: reject a clearly broken alignment solve (reference:
+        # StateHelper.cpp:567-574 suspicious-init rejection)
+        if not (np.all(np.isfinite(np.asarray(dn)))
+                and abs(float(dn[0])) < 0.5
+                and float(np.linalg.norm(np.asarray(dn)[1:4])) < 10.0):
+            self.pending = self.pending[::2]
+            return
+        st = ekf.apply_dx(st, dx_full).replace(cov=new_cov)
+        # apply_dx already folded dx_full's wtoe component; add the
+        # initialization value dn on top
+        st = st.replace(wtoe_th=st.wtoe_th + dn[0], wtoe_p=st.wtoe_p + dn[1:4])
+        yaw_f = float(st.wtoe_th)
+        t_f = np.asarray(st.wtoe_p)
+        c_, s_ = np.cos(yaw_f), np.sin(yaw_f)
+        R_f = np.array([[c_, -s_, 0.0], [s_, c_, 0.0], [0.0, 0.0, 1.0]])
+        # posterior transform covariance (pre-marginalization) for NEES checks
+        self.init_trans_cov = np.asarray(
+            st.cov[lo.wtoe_off : lo.wtoe_off + 4,
+                   lo.wtoe_off : lo.wtoe_off + 4])
 
-        def jth(q):  # d theta / d(dpsi, dt)
-            z = lie.quat_2_rot(q) @ ez
-            return jnp.concatenate([z[:, None], jnp.zeros((3, 3), dtype=F64)], axis=1)
-
-        J = J.at[lo.IMU_TH : lo.IMU_TH + 3, :].set(jth(st.q))
-        J = J.at[lo.IMU_P : lo.IMU_P + 3, :].set(jp(st.p))
-        J = J.at[lo.IMU_V : lo.IMU_V + 3, 0].set(jnp.cross(ez, st.v))
-        for i in range(lo.n_clones):
-            s = lo.clone(i)
-            J = J.at[s : s + 3, :].set(jth(st.clone_q[i]))
-            J = J.at[s + 3 : s + 6, :].set(jp(st.clone_p[i]))
-        valid_mask = jnp.repeat(st.clone_valid, 6)
-        J = J.at[lo.clone_off : lo.clone_off + 6 * lo.n_clones, :].multiply(
-            valid_mask[:, None].astype(F64))
-        sigma = jnp.diag(jnp.asarray(
-            [sigma_yaw**2, sigma_t**2, sigma_t**2, sigma_t**2], dtype=F64))
-        system.state = st.replace(cov=st.cov + J @ sigma @ J.T)
+        # --- whole-state rotation into ENU + transform marginalization
+        # (reference: transform_state_to_ENU, UpdaterGPS.cpp:457-516) ---
+        system.state = transform_state_to_enu_marg_trans(st)
         # rotate the recorded trajectory too (it is now in ENU)
         system.traj = [
-            (t_, np.asarray(lie.quat_multiply(jnp.asarray(q_), lie.rot_2_quat(jnp.asarray(R.T)))),
-             R @ p_ + t_al)
+            (t_, np.asarray(lie.quat_multiply(
+                jnp.asarray(q_), lie.rot_2_quat(jnp.asarray(R_f.T)))),
+             R_f @ p_ + t_f)
             for t_, q_, p_ in system.traj
         ]
-        self.align = (R, t_al, yaw, rms)
+        self.align = (R_f, t_f, yaw_f, rms)
         self.initialized = True
 
     def _update_one(self, system, t, p_meas):

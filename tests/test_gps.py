@@ -104,6 +104,16 @@ def test_e2e_gps_bounded_drift():
 
     assert sys_.gps.initialized, "GPS 4-DoF alignment never initialized"
     assert sys_.gps.stats["accept"] > 5, sys_.gps.stats
+    # NEES of the delayed-initialized transform against the true (yaw, t),
+    # using its posterior covariance captured just before marginalization
+    # (reference flow: UpdaterGPS.cpp:338-516)
+    R_f, t_f, yaw_f, _ = sys_.gps.align
+    e_yaw = np.arctan2(np.sin(yaw_f - yaw0), np.cos(yaw_f - yaw0))
+    e = np.concatenate([[e_yaw], t_f - t_enu])
+    P = sys_.gps.init_trans_cov
+    assert np.all(np.isfinite(P)) and np.all(np.linalg.eigvalsh(P) > 0), P
+    nees = float(e @ np.linalg.solve(P, e))
+    assert nees < 30.0, (nees, e, np.sqrt(np.diag(P)))
     # after init, trajectory is in ENU: compare to transformed gt
     errs = []
     for t, q, p in sys_.traj[-30:]:
