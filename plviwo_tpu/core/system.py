@@ -75,6 +75,11 @@ class VioSystem:
         # wheel
         self.wheel_buf = wheel_up.WheelBuffer()
         self.clone_wv = {}  # clone time -> (w_hat, v) for the wheel dt column
+        self.viz = None  # optional utils.viz.VizRecorder (3-D dumps/overlays)
+        from ..utils.timing import TimeChecker
+
+        self.tc = TimeChecker()
+        self.frame_timing = {}  # per-stage ms of the latest frame
         self.wheel_type = wheel_up.TYPE_CODES.get(op.wheel.type, wheel_up.W3D_ANG)
         self.last_wheel_clone_t = None
         self._iw_init = None
@@ -358,8 +363,11 @@ class VioSystem:
             if self._last_frame_t is not None and t_frame > self._last_frame_t:
                 self._frame_dt = t_frame - self._last_frame_t
             self._last_frame_t = t_frame
+            tc = self.tc
+            tc.ding("propagate")
             self._propagate_to(t_frame)
             self._marginalize_for_window(t_frame)
+            ms_prop = 1e3 * tc.dong("propagate")
             marg_times = self._next_marg_times(t_frame)
             self.state = ekf.augment_clone(self.state)
             self.stats["clones"] += 1
@@ -374,13 +382,23 @@ class VioSystem:
                         wa[0] - np.asarray(self.state.bg),
                         np.asarray(self.state.v).copy(),
                     )
+            tc.ding("cam")
             self._msckf_update(t_frame, marg_times)
             if self.layout.max_slam > 0:
                 self._slam_update(t_frame)
+            ms_cam = 1e3 * tc.dong("cam")
+            tc.ding("line")
             if self.opts.cam.use_lines:
                 self._line_update(t_frame, marg_times)
+            ms_line = 1e3 * tc.dong("line")
+            tc.ding("wheel")
             if self.opts.wheel.enabled:
                 self._wheel_update()
+            ms_wheel = 1e3 * tc.dong("wheel")
+            # per-frame stage timings (reference: TimeChecker prints +
+            # State_Logger timing file, SystemManager.cpp:336-352)
+            self.frame_timing = {"propagate": ms_prop, "cam": ms_cam,
+                                 "line": ms_line, "wheel": ms_wheel}
             self._record_pose()
             if self.gps is not None:
                 was_init = self.gps.initialized
@@ -508,6 +526,11 @@ class VioSystem:
                 np.asarray(self.state.p).copy(),
             )
         )
+        if self.viz is not None:
+            sv = np.asarray(self.state.slam_valid)
+            if sv.any():
+                self.viz.add_slam_points(
+                    float(self.state.time), np.asarray(self.state.slam_p)[sv])
 
     # ------------------------------------------------------------------
     # telemetry (reference: SystemManager::print_status/print_final_report,
@@ -792,6 +815,22 @@ class VioSystem:
         n_ok = int(jnp.sum(line_ok))
         self.stats["line_accept"] += n_ok
         self.stats["line_reject"] += len(cands) - n_ok
+        if self.viz is not None and n_ok:
+            from ..utils.viz import line_display_endpoints
+
+            eps = []
+            ok_np = np.asarray(line_ok)
+            nG_np, vG_np = np.asarray(n_G), np.asarray(v_G)
+            for i in np.nonzero(ok_np)[0]:
+                js = np.nonzero(obs_valid[i])[0]
+                if not len(js):
+                    continue
+                j = int(js[-1])
+                eps.append(line_display_endpoints(
+                    nG_np[i], vG_np[i], seg_uvn[i, j],
+                    st.clone_q[obs_slot[i, j]], st.clone_p[obs_slot[i, j]],
+                    st.cam_q[0], st.cam_p[0]))
+            self.viz.add_lines(t_frame, np.asarray(eps))
         if n_ok == 0:
             self.ldb.remove(used)
             return
@@ -1092,6 +1131,9 @@ class VioSystem:
         n_ok = int(jnp.sum(feat_ok))
         self.stats["cam_accept"] += n_ok
         self.stats["cam_reject"] += n_cands - n_ok
+        if self.viz is not None and n_ok:
+            self.viz.add_points(
+                t_frame, np.asarray(p_f)[np.asarray(feat_ok)])
         if n_ok == 0:
             self._db_remove(used_fids)
             return

@@ -63,6 +63,102 @@ def cmd_timing(args):
     return 0
 
 
+def cmd_nees(args):
+    """Full-state NEES over recorder est/std/gt triplets (error_simulation /
+    ResultSimulation semantics, ov_eval calc/ResultSimulation.h:52-80)."""
+    import os
+
+    from .metrics import nees as nees_fn
+
+    d = args.dir
+    est = np.loadtxt(os.path.join(d, "state_est.txt"))
+    std = np.loadtxt(os.path.join(d, "state_std.txt"))
+    gt = np.loadtxt(os.path.join(d, "state_gt.txt"))
+    n = min(len(est), len(std), len(gt))
+    est, std, gt = est[:n], std[:n], gt[:n]
+    # est/gt rows: [t q(4) p(3) v(3) bg(3) ba(3)]; std rows: [t th p v bg ba]
+    out = nees_fn(est[:, 5:8], est[:, 1:5], std[:, 4:7], std[:, 1:4],
+                  gt[:, 5:8], gt[:, 1:5])
+    for name, sl_e, sl_s in (("v", slice(8, 11), slice(7, 10)),
+                             ("bg", slice(11, 14), slice(10, 13)),
+                             ("ba", slice(14, 17), slice(13, 16))):
+        err = est[:, sl_e] - gt[:, sl_e]
+        block = np.sum((err / np.maximum(std[:, sl_s], 1e-12)) ** 2, axis=1)
+        out[f"{name}_nees"] = Stats.from_values(block).as_dict()
+        out[f"{name}_err_rmse"] = float(np.sqrt(np.mean(err**2)))
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_flamegraph(args):
+    """Cumulative per-stage timing breakdown (timing_flamegraph analogue)."""
+    names, rows = load_timing(args.file)
+    totals = [(name, float(np.sum(rows[:, i])))
+              for i, name in enumerate(names or []) if i > 0]
+    totals.sort(key=lambda kv: -kv[1])
+    grand = sum(v for _, v in totals) or 1.0
+    width = 50
+    for name, v in totals:
+        bar = "#" * max(1, int(width * v / totals[0][1]))
+        print(f"{name:24s} {v:10.1f} ms {100*v/grand:5.1f}%  {bar}")
+    return 0
+
+
+def cmd_percentages(args):
+    """Mean per-stage share of total frame time (timing_percentages)."""
+    names, rows = load_timing(args.file)
+    cols = {name: rows[:, i] for i, name in enumerate(names or []) if i > 0}
+    tot = sum(cols.values())
+    tot = np.where(tot <= 0, 1.0, tot)
+    out = {name: round(float(np.mean(100.0 * v / tot)), 2)
+           for name, v in cols.items()}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_plot(args):
+    """Plot trajectories to a PNG (plot_trajectories analogue)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 5))
+    for path in args.traj:
+        t, p, _ = load_tum(path)
+        axes[0].plot(p[:, 0], p[:, 1], label=path)
+        axes[1].plot(t - t[0], p[:, 2], label=path)
+    axes[0].set_xlabel("x [m]"); axes[0].set_ylabel("y [m]")
+    axes[0].set_aspect("equal"); axes[0].legend(fontsize=7)
+    axes[1].set_xlabel("t [s]"); axes[1].set_ylabel("z [m]")
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=120)
+    print(json.dumps({"out": args.out, "n": len(args.traj)}))
+    return 0
+
+
+def cmd_convert(args):
+    """Trajectory format conversion (format_converter analogue): TUM
+    (space-separated t x y z qx qy qz qw) <-> CSV (comma, same columns)."""
+    import numpy as _np
+
+    src = args.src
+    delim = "," if args.from_fmt == "csv" else None
+    arr = _np.loadtxt(src, delimiter=delim, comments=("#", "t,"))
+    if arr.ndim == 1:
+        arr = arr[None]
+    if args.to_fmt == "csv":
+        header = "t,x,y,z,qx,qy,qz,qw"
+        _np.savetxt(args.dst, arr[:, :8], delimiter=",", header=header,
+                    fmt="%.9f")
+    else:
+        from .loader import save_tum
+
+        save_tum(args.dst, arr[:, 0], arr[:, 1:4], arr[:, 4:8])
+    print(json.dumps({"rows": int(len(arr)), "out": args.dst}))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="plviwo_tpu.eval")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -88,6 +184,32 @@ def main(argv=None):
     t = sub.add_parser("timing", help="timing-file statistics (timing_histogram)")
     t.add_argument("file")
     t.set_defaults(fn=cmd_timing)
+
+    n = sub.add_parser(
+        "nees", help="full-state NEES over recorder triplets (error_simulation)")
+    n.add_argument("dir", help="recorder directory with state_{est,std,gt}.txt")
+    n.set_defaults(fn=cmd_nees)
+
+    f = sub.add_parser("flamegraph", help="per-stage cumulative timing view")
+    f.add_argument("file")
+    f.set_defaults(fn=cmd_flamegraph)
+
+    p = sub.add_parser("percentages", help="per-stage share of frame time")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_percentages)
+
+    pl = sub.add_parser("plot", help="plot trajectories to PNG (plot_trajectories)")
+    pl.add_argument("traj", nargs="+")
+    pl.add_argument("--out", default="trajectories.png")
+    pl.set_defaults(fn=cmd_plot)
+
+    cv = sub.add_parser("convert", help="TUM <-> CSV trajectory conversion")
+    cv.add_argument("src"); cv.add_argument("dst")
+    cv.add_argument("--from", dest="from_fmt", default="tum",
+                    choices=["tum", "csv"])
+    cv.add_argument("--to", dest="to_fmt", default="csv",
+                    choices=["tum", "csv"])
+    cv.set_defaults(fn=cmd_convert)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--calib", action="store_true",
                     help="estimate camera extrinsics online (do_calib_ext; "
                          "pair with --perturb to demonstrate recovery)")
+    ap.add_argument("--viz-dir", type=str, default=None,
+                    help="write tracking overlays + 3-D feature/line dumps "
+                         "(PLY) to this directory (rviz-publisher analogue)")
     ap.add_argument("--record", type=str, default=None,
                     help="directory for MINS-format est/std/gt triplets + timing")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
@@ -113,6 +116,10 @@ def main(argv=None):
         from .utils.recorder import StateRecorder
 
         recorder = StateRecorder(args.record)
+    if args.viz_dir:
+        from .utils.viz import VizRecorder
+
+        sys_.viz = VizRecorder(args.viz_dir)
 
     imu_t, imu_w, imu_a = sim.imu_stream()
     if not args.auto_init:
@@ -138,11 +145,20 @@ def main(argv=None):
 
         def frame_feed(t):
             img = sim.render_frame(t, with_lines=args.lines)
+            sel = tracker.ids >= 0
+            prev_uvs = dict(zip(tracker.ids[sel].tolist(), tracker.uv[sel]))
             ids, uvs = tracker.feed(img)
+            segs = None
+            out = (float(t), ids, uvs)
             if ltracker is not None:
                 lids, segs = ltracker.feed(img, ids, uvs)
-                return (float(t), ids, uvs, lids, segs)
-            return (float(t), ids, uvs)
+                out = (float(t), ids, uvs, lids, segs)
+            if sys_.viz is not None:
+                prev = np.asarray([prev_uvs.get(i, uvs[k])
+                                   for k, i in enumerate(ids)]) \
+                    if len(ids) else None
+                sys_.viz.add_overlay(float(t), np.asarray(img), uvs, prev, segs)
+            return out
 
         cam_iter = iter([frame_feed(t) for t in cam_ts])
     elif args.lines:
@@ -180,9 +196,13 @@ def main(argv=None):
                 "v": np.asarray(kin["v_IinG"]),
                 "bg": sim.bg_true[j], "ba": sim.ba_true[j],
             })
+            if sys_.frame_timing:
+                recorder.record_timing(t_now, sys_.frame_timing)
     wall = time.time() - t_wall
     if recorder is not None:
         recorder.save()
+    if sys_.viz is not None:
+        sys_.viz.save()
 
     if len(sys_.traj) >= 3:
         from .eval.metrics import ate

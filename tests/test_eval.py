@@ -106,3 +106,80 @@ def test_cli_ate(tmp_path):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert out["pos"]["rmse"] < 0.02
+
+
+def test_eval_cli_tail(tmp_path):
+    """nees / flamegraph / percentages / plot / convert subcommands."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from plviwo_tpu.eval.__main__ import main
+
+    # recorder triplets: perfect estimate with 1-sigma stds
+    rng = np.random.default_rng(0)
+    n = 20
+    t = np.arange(n) * 0.1
+    q = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    p = rng.normal(size=(n, 3))
+    est = np.column_stack([t, q, p, p, p * 0, p * 0])
+    std = np.column_stack([t, np.full((n, 15), 0.1)])
+    gt = est.copy()
+    d = tmp_path / "rec"
+    d.mkdir()
+    np.savetxt(d / "state_est.txt", est)
+    np.savetxt(d / "state_std.txt", std)
+    np.savetxt(d / "state_gt.txt", gt)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["nees", str(d)]) == 0
+    import json
+
+    out = json.loads(buf.getvalue())
+    assert out["pos_nees"]["mean"] == 0.0  # est == gt
+
+    # timing file
+    tf = d / "timing.txt"
+    with open(tf, "w") as f:
+        f.write("# t,a,b\n")
+        for i in range(5):
+            f.write(f"{i*0.1},{1.0+i},{2.0}\n")
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert main(["flamegraph", str(tf)]) == 0
+        assert main(["percentages", str(tf)]) == 0
+
+    # tum -> csv -> tum round trip
+    tum = d / "a.txt"
+    np.savetxt(tum, np.column_stack([t, p, q]))
+    csv = str(d / "a.csv")
+    tum2 = str(d / "a2.txt")
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert main(["convert", str(tum), csv, "--to", "csv"]) == 0
+        assert main(["convert", csv, tum2, "--from", "csv", "--to", "tum"]) == 0
+        assert main(["plot", str(tum), "--out", str(d / "p.png")]) == 0
+    back = np.loadtxt(tum2)
+    np.testing.assert_allclose(back[:, 1:4], p, atol=1e-6)
+    assert (d / "p.png").exists()
+
+
+def test_viz_writers(tmp_path):
+    import numpy as np
+
+    from plviwo_tpu.utils.viz import (
+        VizRecorder, save_ply_lines, save_ply_points, tracking_overlay)
+
+    img = tracking_overlay(np.zeros((40, 60)), pts_uv=[[10, 10], [30, 20]],
+                           pts_prev_uv=[[8, 9], [28, 18]],
+                           segs_uv=[[5, 5, 50, 30]])
+    assert img.shape == (40, 60, 3) and img.max() > 0
+    pp = save_ply_points(str(tmp_path / "p.ply"), np.zeros((3, 3)))
+    lp = save_ply_lines(str(tmp_path / "l.ply"), np.zeros((2, 6)))
+    assert open(pp).readline().strip() == "ply"
+    assert "element edge 2" in open(lp).read()
+    vr = VizRecorder(str(tmp_path / "viz"))
+    vr.add_points(0.0, np.ones((4, 3)))
+    vr.add_lines(0.0, np.ones((2, 6)))
+    path = vr.add_overlay(0.0, np.zeros((40, 60)), [[1, 2]])
+    s = vr.save()
+    assert s["msckf_points"] == 4 and s["lines"] == 2 and path is not None
