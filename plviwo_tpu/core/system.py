@@ -67,6 +67,7 @@ class VioSystem:
         except Exception:
             self.fdb_native = None
         self.ldb = LineDatabase()
+        self.stereo = False  # set by feed_stereo; bypasses the native DB path
         self.pending_frames: deque = deque()
         self.gravity = jnp.array([0.0, 0.0, op.gravity_mag], dtype=F64)
         self.sigmas = (op.imu.sigma_w, op.imu.sigma_a, op.imu.sigma_wb, op.imu.sigma_ab)
@@ -114,20 +115,21 @@ class VioSystem:
     # ------------------------------------------------------------------
     # configuration helpers
     # ------------------------------------------------------------------
-    def set_calibration(self, cam_k, cam_q, cam_p, cam_dt=0.0):
-        """Install camera calibration means into the state.
+    def set_calibration(self, cam_k, cam_q, cam_p, cam_dt=0.0, cam: int = 0):
+        """Install camera calibration means into the state (per camera).
 
         cam_dt is the time offset already folded into the timestamps the
         driver feeds (t_label = t_cam + cam_dt); online dt estimation shifts
         the measurement evaluation time by (dt_est - this initial value).
         """
         st = self.state
-        self._cam_dt0 = float(cam_dt)
+        if cam == 0:
+            self._cam_dt0 = float(cam_dt)
         self.state = st.replace(
-            cam_k=st.cam_k.at[0].set(jnp.asarray(cam_k, dtype=F64)),
-            cam_q=st.cam_q.at[0].set(jnp.asarray(cam_q, dtype=F64)),
-            cam_p=st.cam_p.at[0].set(jnp.asarray(cam_p, dtype=F64)),
-            cam_dt=st.cam_dt.at[0].set(cam_dt),
+            cam_k=st.cam_k.at[cam].set(jnp.asarray(cam_k, dtype=F64)),
+            cam_q=st.cam_q.at[cam].set(jnp.asarray(cam_q, dtype=F64)),
+            cam_p=st.cam_p.at[cam].set(jnp.asarray(cam_p, dtype=F64)),
+            cam_dt=st.cam_dt.at[cam].set(cam_dt),
         )
 
     def initialize_from(self, t, q_GtoI, p, v, bg, ba):
@@ -227,6 +229,31 @@ class VioSystem:
         self.pending_frames.append(float(t))
         if self.initialized:
             self._process_pending()
+
+    def feed_stereo(self, t, ids0, uvs0, ids1, uvs1,
+                    line_ids=None, line_segs=None):
+        """One stereo pair of tracked features with SHARED ids across the two
+        cameras (reference: TrackKLT::feed_stereo, TrackKLT.cpp:202-393 —
+        left/right temporal tracking with L/R association by shared IDs;
+        stereo pairs time-matched by run_bag.cpp:342-377).
+
+        Right-camera observations enter the same track under cam=1; the
+        MSCKF systems then carry per-observation camera extrinsics.  The
+        native single-camera DB fast path is bypassed in stereo mode.
+        """
+        self.stereo = True
+        uvs1 = np.atleast_2d(np.asarray(uvs1, dtype=np.float64))
+        if len(ids1) > 0:
+            n = len(ids1)
+            pad = max(self.opts.cam.n_pts, n)
+            uv_pad = np.zeros((pad, 2))
+            uv_pad[:n] = uvs1
+            k1 = self.state.cam_k[1 % self.layout.n_cams]
+            uvns1 = np.asarray(
+                cam_ops.undistort_radtan(jnp.asarray(uv_pad), k1))[:n]
+            for fid, uv, uvn in zip(ids1, uvs1, uvns1):
+                self.fdb.update(int(fid), float(t), uv, uvn, cam=1)
+        self.feed_camera(t, ids0, uvs0, line_ids, line_segs)
 
     def feed_gps(self, t, lat, lon, alt):
         """One geodetic GNSS fix (reference: feed_measurement_gps,
@@ -1022,8 +1049,9 @@ class VioSystem:
         # libplviwo_native.so is built, Python fallback otherwise
         Fn = op.max_msckf
         O = self.layout.n_clones
+        obs_cam = np.zeros((Fn, O), dtype=np.int32)
         slam_fids = {int(x) for x in np.asarray(self.state.slam_id) if x >= 0}
-        if self.fdb_native is not None:
+        if self.fdb_native is not None and not self.stereo:
             n_cand, fids_arr, obs_uv, obs_uvn, _s0, _s1, _lam, obs_t, \
                 obs_valid = self.fdb_native.export_msckf(
                     vt, vslots.astype(np.int32), sorted(marg_times), t_frame,
@@ -1064,11 +1092,13 @@ class VioSystem:
             for i, (_, fid) in enumerate(cands):
                 tr = self.fdb.tracks[fid]
                 j = 0
-                for ti, uv, uvn in zip(tr.times, tr.uvs, tr.uvns):
+                for k, (ti, uv, uvn) in enumerate(
+                        zip(tr.times, tr.uvs, tr.uvns)):
                     if locate(ti) is not None and j < O:
                         obs_uv[i, j] = uv
                         obs_uvn[i, j] = uvn
                         obs_t[i, j] = ti
+                        obs_cam[i, j] = tr.cam_of(k)
                         obs_valid[i, j] = True
                         j += 1
                 used_fids.append(fid)
@@ -1086,12 +1116,21 @@ class VioSystem:
         obs_tidx_j = jnp.asarray(obs_tidx)
         obs_valid_j = jnp.asarray(obs_valid)
 
+        # --- per-observation camera rows (stereo mixes cameras within one
+        # feature; mono gathers camera 0 everywhere) ---
+        obs_cam_j = jnp.asarray(
+            np.clip(obs_cam, 0, self.layout.n_cams - 1))
+        cam_q_obs = st.cam_q[obs_cam_j]   # (F, O, 4)
+        cam_p_obs = st.cam_p[obs_cam_j]
+        cam_k_obs = st.cam_k[obs_cam_j]
+        obs_cam0 = jnp.asarray(obs_cam == 0)
+
         # --- interpolated poses (est) for triangulation ---
         cq = tq[obs_tidx_j]
         cp = tp[obs_tidx_j]
         p_f, ok, avg_err = cam_helper.triangulate_batch(
             jnp.asarray(obs_uvn), cq, cp, obs_valid_j,
-            st.cam_q[0], st.cam_p[0],
+            cam_q_obs, cam_p_obs,
             min_dist=op.triangulation_min_dist,
             max_dist=op.triangulation_max_dist,
             max_cond=op.triangulation_max_cond,
@@ -1103,9 +1142,9 @@ class VioSystem:
         # --- per-feature systems + projection + gate (calibration columns
         # per the do_calib_* flags, reference CamHelper.cpp:77-102,139-167) ---
         Hx, Hf, r, rowmask = cam_helper.point_systems_table_batch(
-            p_f, jnp.asarray(obs_uv), obs_tidx_j, obs_valid_j,
+            p_f, jnp.asarray(obs_uv), obs_tidx_j, obs_valid_j, obs_cam0,
             tq, tp, tq_f, tp_f, tJ, tJt,
-            st.cam_q[0], st.cam_p[0], st.cam_k[0],
+            cam_q_obs, cam_p_obs, cam_k_obs,
             int(self.distortion_model), lo.clone_off, lo.dim,
             lo.cam_dt(0) if op.do_calib_dt else -1,
             lo.cam_ext(0) if op.do_calib_ext else -1,

@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--sigma-pix", type=float, default=0.5)
     ap.add_argument("--n-pts", type=float, default=45)
     ap.add_argument("--max-msckf", type=int, default=30)
+    ap.add_argument("--stereo", action="store_true",
+                    help="stereo feed: shared-ID left/right observations")
     ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
     ap.add_argument("--auto-init", action="store_true",
@@ -88,6 +90,9 @@ def main(argv=None):
     opts.cam.sigma_pix = max(args.sigma_pix, 0.3)
     opts.cam.min_track_length = 4
     opts.cam.chi2_mult = 5.0
+    if args.stereo:
+        opts.cam.max_n = 2
+        opts.cam.min_track_length = 6  # stereo tracks gain 2 obs per frame
 
     if args.lines:
         opts.cam.use_lines = True
@@ -108,6 +113,11 @@ def main(argv=None):
         rng = np.random.default_rng(args.seed + 1)
         cam_p_used = cam_p_used + rng.normal(0, args.perturb, 3)
     sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cam_p_used)
+    if args.stereo:
+        sys_.set_calibration(
+            cfg.intrinsics, cfg.cam_ext_q,
+            np.asarray(cfg.cam_ext_p) + [-cfg.stereo_baseline, 0.0, 0.0],
+            cam=1)
     if args.wheel:
         sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
                                    [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
@@ -130,10 +140,11 @@ def main(argv=None):
 
     cam_ts = sim.cam_times()
     if args.images:
-        from .update.tracker import KltTracker
+        from .update.tracker import KltTracker, StereoKltTracker
 
-        tracker = KltTracker(n_pts=80, cam_k=np.asarray(cfg.intrinsics),
-                             grid_x=12, grid_y=10)
+        tracker_cls = StereoKltTracker if args.stereo else KltTracker
+        tracker = tracker_cls(n_pts=80, cam_k=np.asarray(cfg.intrinsics),
+                              grid_x=12, grid_y=10)
         opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
         opts.cam.chi2_mult = 8.0
         ltracker = None
@@ -147,12 +158,17 @@ def main(argv=None):
             img = sim.render_frame(t, with_lines=args.lines)
             sel = tracker.ids >= 0
             prev_uvs = dict(zip(tracker.ids[sel].tolist(), tracker.uv[sel]))
-            ids, uvs = tracker.feed(img)
             segs = None
-            out = (float(t), ids, uvs)
+            if args.stereo:
+                img1 = sim.render_frame(t, with_lines=args.lines, cam=1)
+                ids, uvs, ids1, uvs1 = tracker.feed_stereo(img, img1)
+                out = (float(t), ids, uvs, ids1, uvs1)
+            else:
+                ids, uvs = tracker.feed(img)
+                out = (float(t), ids, uvs)
             if ltracker is not None:
                 lids, segs = ltracker.feed(img, ids, uvs)
-                out = (float(t), ids, uvs, lids, segs)
+                out = out + (lids, segs)
             if sys_.viz is not None:
                 prev = np.asarray([prev_uvs.get(i, uvs[k])
                                    for k, i in enumerate(ids)]) \
@@ -161,6 +177,14 @@ def main(argv=None):
             return out
 
         cam_iter = iter([frame_feed(t) for t in cam_ts])
+    elif args.stereo:
+        def stereo_feed(t):
+            ids0, uv0 = sim.cam_frame(t, cam=0)
+            ids1, uv1 = sim.cam_frame(t, cam=1)
+            extra = sim.line_frame(t) if args.lines else (None, None)
+            return (float(t), ids0, uv0, ids1, uv1) + extra
+
+        cam_iter = iter([stereo_feed(t) for t in cam_ts])
     elif args.lines:
         cam_iter = iter(
             [(float(t),) + sim.cam_frame(t) + sim.line_frame(t) for t in cam_ts]
@@ -180,7 +204,10 @@ def main(argv=None):
             sys_.feed_wheel(*next_wheel)
             next_wheel = next(wheel_iter, None)
         while next_cam is not None and next_cam[0] <= imu_t[i]:
-            sys_.feed_camera(*next_cam)
+            if args.stereo:
+                sys_.feed_stereo(*next_cam)
+            else:
+                sys_.feed_camera(*next_cam)
             next_cam = next(cam_iter, None)
         n0 = len(sys_.traj)
         sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])

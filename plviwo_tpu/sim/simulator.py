@@ -49,6 +49,7 @@ class SimConfig:
     intrinsics: tuple = (300.0, 300.0, 320.0, 240.0, -0.05, 0.01, 0.0005, -0.0002)
     cam_ext_q: tuple = (0.5, -0.5, 0.5, -0.5)  # q_ItoC: camera x right, y down, z forward
     cam_ext_p: tuple = (0.05, 0.0, 0.0)
+    stereo_baseline: float = 0.12  # right cam offset along camera x [m]
     # lines (vertical/horizontal structure, urban-like)
     n_lines: int = 60
     sigma_pix_line: float = 1.5
@@ -155,11 +156,14 @@ class Simulator:
         n = int((self.t_end - self.t_start - 0.2) * c.cam_hz)
         return self.t_start + 0.1 + np.arange(n) / c.cam_hz
 
-    def cam_frame(self, t):
+    def cam_frame(self, t, cam: int = 0):
         """Visible landmark observations at time t.
 
         Returns (ids (M,), uvs (M,2)) with pixel noise — the TrackSIM idiom:
         the simulator plays the role of a perfect data-association tracker.
+        cam=1 is the right stereo camera: same orientation, center shifted by
+        `stereo_baseline` along camera x (landmark ids are shared across
+        cameras, the reference's stereo shared-ID association).
         """
         c = self.cfg
         kin = self.spline.imu_true(t)
@@ -167,6 +171,8 @@ class Simulator:
         p_I = np.asarray(kin["p_IinG"])
         R_ItoC = np.asarray(lie.quat_2_rot(jnp.asarray(c.cam_ext_q, dtype=F64)))
         p_IinC = np.asarray(c.cam_ext_p)
+        if cam == 1:
+            p_IinC = p_IinC + np.array([-c.stereo_baseline, 0.0, 0.0])
         p_C = (R_ItoC @ R_GtoI @ (self.landmarks - p_I).T).T + p_IinC
         k = jnp.asarray(c.intrinsics, dtype=F64)
         front = p_C[:, 2] > 0.3
@@ -216,13 +222,14 @@ class Simulator:
         seg += self.rng.normal(0, c.sigma_pix_line, seg.shape)
         return ids.astype(np.int64), seg
 
-    def render_frame(self, t, with_lines=True):
+    def render_frame(self, t, with_lines=True, cam: int = 0):
         """Render a synthetic grayscale image (H, W) float32 in [0, 1].
 
         Landmarks splat as Gaussian blobs (strong corners for the KLT
         front-end), 3-D line segments draw as dark anti-aliased strokes (for
         the line detector), over a low-frequency textured background — the
         image-domain test surface replacing the reference's camera stream.
+        cam=1 renders the right stereo camera (baseline along camera x).
         """
         c = self.cfg
         H, W = c.height, c.width
@@ -246,6 +253,8 @@ class Simulator:
         p_I = np.asarray(kin["p_IinG"])
         R_ItoC = np.asarray(lie.quat_2_rot(jnp.asarray(c.cam_ext_q, dtype=F64)))
         p_cam_ext = np.asarray(c.cam_ext_p)
+        if cam == 1:
+            p_cam_ext = p_cam_ext + np.array([-c.stereo_baseline, 0.0, 0.0])
         R_GtoC = R_ItoC @ R_GtoI
         cam_center = p_I - R_GtoC.T @ p_cam_ext
 

@@ -285,7 +285,7 @@ def point_systems_interp_batch(
 
 
 def _point_system_table_single(
-    p_f, obs_uv, obs_tidx, obs_valid,
+    p_f, obs_uv, obs_tidx, obs_valid, obs_cam0,
     tq, tp, tq_f, tp_f, tJ, tJt,
     cam_q, cam_p, cam_k, model, clone_off, D,
     dt_col, ext_col, int_col,
@@ -293,25 +293,28 @@ def _point_system_table_single(
     """Per-feature linear system against the interpolated-pose table.
 
     Each observation indexes a row of the time table (tq/tp est pose for the
-    residual; tq_f/tp_f + tJ/tJt FEJ pose + Jacobians for the chain).  The
-    per-observation projection Jacobian (2x6 pose, 2x3 feature, 2x6 extrinsic,
-    2x8 intrinsic) comes from jacfwd of the cheap projection function; the
-    clone-band block is J_pose @ tJ[tidx] — the reference's cached
-    interpolated-Jacobian chain (CamHelper.cpp:58-267 + State.cpp:833-973),
-    including the calibration columns of CamHelper.cpp:77-102,139-167
-    (enabled when dt_col/ext_col/int_col >= 0; the dt column flows through
-    d(pose)/d(t_eval) as in State.cpp:833-973).
+    residual; tq_f/tp_f + tJ/tJt FEJ pose + Jacobians for the chain) and
+    carries its own camera extrinsic/intrinsic row (cam_q (O,4), cam_p (O,3),
+    cam_k (O,8) — stereo observations mix cameras inside one feature system,
+    the reference's multi-camera CamLinSys).  The per-observation projection
+    Jacobian (2x6 pose, 2x3 feature, 2x6 extrinsic, 2x8 intrinsic) comes
+    from jacfwd of the cheap projection function; the clone-band block is
+    J_pose @ tJ[tidx] — the reference's cached interpolated-Jacobian chain
+    (CamHelper.cpp:58-267 + State.cpp:833-973), including the calibration
+    columns of CamHelper.cpp:77-102,139-167 (enabled when
+    dt_col/ext_col/int_col >= 0, applied to cam-0 rows via obs_cam0; the dt
+    column flows through d(pose)/d(t_eval) as in State.cpp:833-973).
     """
     O = obs_uv.shape[0]
     distort_fn = cam_ops.distort_radtan if model == 0 else cam_ops.distort_equi
     dtype = p_f.dtype
 
-    def h(dx_t, dpf, dxe, dxi, q_t, p_t):
+    def h(dx_t, dpf, dxe, dxi, q_t, p_t, cq, cp, ck):
         q_t2 = lie.quat_multiply(_dq6(dx_t[0:3], dtype), q_t)
         p_t2 = p_t + dx_t[3:6]
-        cq2 = lie.quat_multiply(_dq6(dxe[0:3], dtype), cam_q)
-        cp2 = cam_p + dxe[3:6]
-        k2 = cam_k + dxi
+        cq2 = lie.quat_multiply(_dq6(dxe[0:3], dtype), cq)
+        cp2 = cp + dxe[3:6]
+        k2 = ck + dxi
         R_ItoC = lie.quat_2_rot(cq2)
         p_C = R_ItoC @ (lie.quat_2_rot(q_t2) @ (p_f + dpf - p_t2)) + cp2
         z = jnp.maximum(p_C[2], 1e-6)
@@ -321,24 +324,26 @@ def _point_system_table_single(
     z3 = jnp.zeros(3, dtype=dtype)
     z8 = jnp.zeros(8, dtype=dtype)
 
-    def per_obs(uv, tix):
-        pred = h(z6, z3, z6, z8, tq[tix], tp[tix])
+    def per_obs(uv, tix, cq, cp, ck):
+        pred = h(z6, z3, z6, z8, tq[tix], tp[tix], cq, cp, ck)
         r = uv - pred
         Jp, Jf, Je, Ji = jax.jacfwd(h, argnums=(0, 1, 2, 3))(
-            z6, z3, z6, z8, tq_f[tix], tp_f[tix])
+            z6, z3, z6, z8, tq_f[tix], tp_f[tix], cq, cp, ck)
         Hc = Jp @ tJ[tix]      # (2, 6C)
         Hdt = Jp @ tJt[tix]    # (2,)
         return r, Hc, Jf, Je, Ji, Hdt
 
-    r, Hc, Jf, Je, Ji, Hdt = jax.vmap(per_obs)(obs_uv, obs_tidx)
+    r, Hc, Jf, Je, Ji, Hdt = jax.vmap(per_obs)(
+        obs_uv, obs_tidx, cam_q, cam_p, cam_k)
     Hx = jnp.zeros((O, 2, D), dtype=dtype)
     Hx = Hx.at[:, :, clone_off : clone_off + Hc.shape[-1]].set(Hc)
+    c0 = obs_cam0.astype(dtype)[:, None]  # calib columns: cam-0 rows only
     if dt_col >= 0:
-        Hx = Hx.at[:, :, dt_col].set(Hdt)
+        Hx = Hx.at[:, :, dt_col].set(Hdt * c0)
     if ext_col >= 0:
-        Hx = Hx.at[:, :, ext_col : ext_col + 6].set(Je)
+        Hx = Hx.at[:, :, ext_col : ext_col + 6].set(Je * c0[..., None])
     if int_col >= 0:
-        Hx = Hx.at[:, :, int_col : int_col + 8].set(Ji)
+        Hx = Hx.at[:, :, int_col : int_col + 8].set(Ji * c0[..., None])
     rowmask = jnp.repeat(obs_valid, 2)
     return Hx.reshape(2 * O, D), Jf.reshape(2 * O, 3), r.reshape(-1), rowmask
 
@@ -353,20 +358,24 @@ def _dq6(th, dtype):
     static_argnames=("model", "clone_off", "D", "dt_col", "ext_col", "int_col"),
 )
 def point_systems_table_batch(
-    p_f, obs_uv, obs_tidx, obs_valid,
+    p_f, obs_uv, obs_tidx, obs_valid, obs_cam0,
     tq, tp, tq_f, tp_f, tJ, tJt,
     cam_q, cam_p, cam_k,
     model: int, clone_off: int, D: int,
     dt_col: int = -1, ext_col: int = -1, int_col: int = -1,
 ):
-    """vmapped `_point_system_table_single` over the feature batch."""
+    """vmapped `_point_system_table_single` over the feature batch.
+
+    cam_q/cam_p/cam_k: per-observation camera rows, (F, O, 4/3/8);
+    obs_cam0: (F, O) bool — observation belongs to the calibrated camera 0.
+    """
     return jax.vmap(
-        lambda pf, uv, ti, va: _point_system_table_single(
-            pf, uv, ti, va, tq, tp, tq_f, tp_f, tJ, tJt,
-            cam_q, cam_p, cam_k, model, clone_off, D,
+        lambda pf, uv, ti, va, c0, cq, cp, ck: _point_system_table_single(
+            pf, uv, ti, va, c0, tq, tp, tq_f, tp_f, tJ, tJt,
+            cq, cp, ck, model, clone_off, D,
             dt_col, ext_col, int_col,
         )
-    )(p_f, obs_uv, obs_tidx, obs_valid)
+    )(p_f, obs_uv, obs_tidx, obs_valid, obs_cam0, cam_q, cam_p, cam_k)
 
 
 @partial(jax.jit, static_argnames=())

@@ -23,11 +23,16 @@ class Track:
     times: list
     uvs: list  # raw pixel coords
     uvns: list  # undistorted normalized coords
+    cams: list = dataclasses.field(default_factory=list)  # camera id per obs
     # flags mirroring PL-VIWO's Feature additions (feat/Feature.h)
     p_FinG: np.ndarray | None = None
     triangulated: bool = False
     dynamic: bool = False
     to_delete: bool = False
+
+    def cam_of(self, i: int) -> int:
+        """Camera id of observation i (tracks predating stereo default 0)."""
+        return self.cams[i] if i < len(self.cams) else 0
 
 
 @dataclasses.dataclass
@@ -86,7 +91,7 @@ class FeatureDatabase:
     def __init__(self):
         self.tracks: dict[int, Track] = {}
 
-    def update(self, fid: int, t: float, uv, uvn):
+    def update(self, fid: int, t: float, uv, uvn, cam: int = 0):
         tr = self.tracks.get(fid)
         if tr is None:
             tr = Track(fid=fid, times=[], uvs=[], uvns=[])
@@ -94,6 +99,7 @@ class FeatureDatabase:
         tr.times.append(t)
         tr.uvs.append(np.asarray(uv, dtype=np.float64))
         tr.uvns.append(np.asarray(uvn, dtype=np.float64))
+        tr.cams.append(int(cam))
 
     def ids_at(self, t: float):
         return [fid for fid, tr in self.tracks.items() if tr.times and tr.times[-1] == t]
@@ -117,6 +123,8 @@ class FeatureDatabase:
                 tr.times = [tr.times[i] for i in keep]
                 tr.uvs = [tr.uvs[i] for i in keep]
                 tr.uvns = [tr.uvns[i] for i in keep]
+                if tr.cams:
+                    tr.cams = [tr.cam_of(i) for i in keep]
         for fid in dead:
             del self.tracks[fid]
 

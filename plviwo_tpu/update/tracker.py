@@ -104,3 +104,42 @@ class KltTracker:
         self.prev_pyr = pyr
         sel = self.valid
         return self.ids[sel].copy(), self.uv[sel].copy()
+
+
+class StereoKltTracker(KltTracker):
+    """Stereo front-end: temporal KLT on the left stream + per-frame
+    left->right LK association under shared ids (reference:
+    TrackKLT::feed_stereo, TrackKLT.cpp:202-393 — there the right stream is
+    also tracked temporally and re-associated; anchoring on the left and
+    re-matching L->R each frame is the simpler variant with the same output
+    contract: one id observed in both cameras at the same timestamp).
+    """
+
+    def __init__(self, *a, max_y_diff=6.0, max_disparity=120.0, **kw):
+        super().__init__(*a, **kw)
+        self.max_y_diff = max_y_diff
+        self.max_disparity = max_disparity
+
+    def feed_stereo(self, img0, img1):
+        """Returns (ids0, uv0, ids1, uv1): left obs + right obs (shared ids,
+        ids1 a subset of ids0)."""
+        ids0, uv0 = self.feed(img0)  # temporal left (updates self.prev_pyr)
+        img1 = jnp.asarray(img1, dtype=F32)
+        if self.histogram:
+            img1 = image_ops.hist_equalize(img1)
+        pyr1 = tuple(image_ops.build_pyramid(img1, self.levels))
+        if not self.valid.any():
+            return ids0, uv0, np.zeros(0, dtype=np.int64), np.zeros((0, 2))
+        uv_l = jnp.asarray(self.uv, dtype=F32)
+        valid = jnp.asarray(self.valid)
+        uv_r, ok = klt_ops.pyramidal_lk(
+            self.prev_pyr, pyr1, uv_l, valid, self.levels, self.half,
+            self.iters)
+        uv_r = np.asarray(uv_r, dtype=np.float64)
+        ok = np.asarray(ok) & self.valid
+        # epipolar-band + disparity gate (rectified-ish pair)
+        dy = np.abs(uv_r[:, 1] - self.uv[:, 1])
+        dx = self.uv[:, 0] - uv_r[:, 0]  # right cam: point shifts left
+        ok &= (dy < self.max_y_diff) & (dx > -2.0) & (dx < self.max_disparity)
+        sel = ok & (self.ids >= 0)
+        return ids0, uv0, self.ids[sel].copy(), uv_r[sel].copy()

@@ -121,3 +121,29 @@ def test_orientation_error_bounded(vio_run):
         np.asarray(lie.log_so3(jnp.asarray(R_est @ np.asarray(kin["R_GtoI"]).T)))
     )
     assert ang < 0.05, f"final orientation error {np.degrees(ang):.2f} deg"
+
+
+@pytest.mark.slow
+def test_stereo_beats_mono():
+    """Stereo feed (shared-id L/R obs, per-observation camera extrinsics)
+    must beat mono ATE on the same trajectory (reference: feed_stereo,
+    TrackKLT.cpp:202-393)."""
+    import numpy as np
+
+    from plviwo_tpu.run_sim import main as run_main
+
+    import contextlib
+    import io
+    import json
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = run_main(["--platform", "cpu", "--duration", "8",
+                           "--seed", "2", "--out", "/tmp/_st_traj.txt"] + extra)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    mono = run([])
+    stereo = run(["--stereo"])
+    assert stereo["ate_rmse_m"] < mono["ate_rmse_m"], (mono, stereo)
