@@ -171,9 +171,12 @@ def test_point_system_calib_columns_fd():
     obs_uv = jnp.asarray([[[400.0, 300.0]]])
     obs_tidx = jnp.zeros((1, 1), dtype=jnp.int32)
     obs_valid = jnp.ones((1, 1), dtype=bool)
+    obs_cam0 = jnp.ones((1, 1), dtype=bool)
     Hx, Hf, r, rowmask = cam_helper.point_systems_table_batch(
-        p_f, obs_uv, obs_tidx, obs_valid,
-        tq, tp, tqf, tpf, tJ, tJt, cam_q, cam_p, cam_k,
+        p_f, obs_uv, obs_tidx, obs_valid, obs_cam0,
+        tq, tp, tqf, tpf, tJ, tJt,
+        jnp.tile(cam_q, (1, 1, 1)), jnp.tile(cam_p, (1, 1, 1)),
+        jnp.tile(cam_k, (1, 1, 1)),
         0, 0, D, lo_dt, lo_ext, lo_int)
     Hx = np.asarray(Hx[0])  # (2, D); note residual r = uv - h, so dh = -Hx...
     # convention: Hx is dh/dx (H = +dh/dx); FD of predict gives dh directly
