@@ -227,9 +227,12 @@ def propagate_arrays(
     gps = jnp.where(pad, 0.0, gps)
     dts = jnp.where(pad, 0.0, dts)
 
-    # prefix-composed orientation: Q_k = dq_k (x) ... (x) dq_1 (JPL multiply
-    # is associative); q_k = Q_k (x) q0
-    Qpre = jax.lax.associative_scan(jax.vmap(lie.quat_multiply), dqs)
+    # prefix-composed orientation: Q_k = dq_k (x) ... (x) dq_1; q_k = Q_k (x) q0.
+    # associative_scan left-folds op(accumulated_earlier, next), so the op is
+    # the SWAPPED multiply op(a, b) = b (x) a (still associative), which makes
+    # result_k = dq_k (x) result_{k-1} — the recursion q_new = dq (x) q.
+    Qpre = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: lie.quat_multiply(b, a)), dqs)
     qs = jax.vmap(lambda dQ: lie.quat_norm(lie.quat_multiply(dQ, q)))(Qpre)
     # start-of-interval rotations R(q_{k-1})^T in one batch
     q_starts = jnp.concatenate([q[None], qs[:-1]], axis=0)

@@ -81,101 +81,155 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
 
     ts: (N,) times, repeated-last for padding (dt = 0 -> identity step).
     Returns (R_O0toO1 (3,3), p_O1inO0 (3,), Cov (6,6), dR_di (3,3), dp_di (3,3)).
+
+    TPU shaping (same reassociation as `propagator.propagate_arrays`): the
+    RK4 orientation increment and the local-frame position increment are
+    carry-independent, so the time recursion becomes an associative
+    quaternion prefix scan + a cumulative sum of rotated increments; the
+    intrinsic-Jacobian recursions are affine maps composed by an associative
+    scan, and the 6x6 (Phi, Q) noise chain folds with a binary tree
+    reduction — log-depth batched math instead of an N-step sequential scan.
     """
     rl, rr, b = intr[0], intr[1], intr[2]
+    N = ts.shape[0] - 1
+    dts = ts[1:] - ts[:-1]
+    pad = dts <= 0
+    dt_safe = jnp.where(pad, 1.0, dts)
 
-    def body(carry, inp):
-        R, p, Cov, dR_di, dp_di = carry
-        t0, a1, b1, t1, a2, b2 = inp
-        dt = t1 - t0
-        dt_safe = jnp.where(dt > 0, dt, 1.0)
+    w1s, v1s = _wv_from_meas(m1s[:-1], m2s[:-1], intr, type_code)
+    w2s, v2s = _wv_from_meas(m1s[1:], m2s[1:], intr, type_code)
+    z = jnp.zeros_like(w1s)
+    w_hat1 = jnp.stack([z, z, w1s], -1)   # (N,3)
+    v_hat1 = jnp.stack([v1s, z, z], -1)
+    w_hat2 = jnp.stack([z, z, w2s], -1)
+    v_hat2 = jnp.stack([v2s, z, z], -1)
 
-        w1, v1 = _wv_from_meas(a1, b1, intr, type_code)
-        w2, v2 = _wv_from_meas(a2, b2, intr, type_code)
-        w_hat1 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[2].set(w1)
-        v_hat1 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[0].set(v1)
-        w_hat2 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[2].set(w2)
-        v_hat2 = jnp.array([0.0, 0.0, 0.0], dtype=F64).at[0].set(v2)
-
-        # --- intrinsic Jacobian integration (uses start-of-step values) ---
-        Hwx = jnp.zeros((3, 3), dtype=F64)
-        Hwx = Hwx.at[2, 0].set(-a1 / b).at[2, 1].set(b1 / b).at[2, 2].set(-w1 / b)
-        Hvx = jnp.zeros((3, 3), dtype=F64)
-        Hvx = Hvx.at[0, 0].set(a1 / 2.0).at[0, 1].set(b1 / 2.0)
-        R_step = lie.exp_so3(-w_hat1 * dt)
-        Hth = lie.jl_so3(-w_hat1 * dt) * dt
-        new_dp_di = dp_di - R.T @ lie.skew(v_hat1 * dt) @ dR_di + R.T @ Hvx * dt
-        new_dR_di = R_step @ dR_di + Hth @ Hwx
-
-        # --- RK4 mean (JPL local frame, like the reference) ---
-        q_local = lie.rot_2_quat(R)
-        w_alpha = (w_hat2 - w_hat1) / dt_safe
-        v_jerk = (v_hat2 - v_hat1) / dt_safe
+    # --- per-step carry-free RK4 increments: dq (local orientation step) and
+    # dp_l (position increment in the step-start frame) ---
+    def rk4_local(wh1, vh1, wh2, vh2, dt, dts_safe):
+        w_alpha = (wh2 - wh1) / dts_safe
+        v_jerk = (vh2 - vh1) / dts_safe
         dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=F64)
 
         def qdot(dq, w):
             return 0.5 * (lie.omega(w) @ dq[:, None])[:, 0]
 
-        def pdot(dq, v):
-            return lie.quat_2_rot(lie.quat_multiply(dq, q_local)).T @ v
+        def u_of(dq, v):
+            return lie.quat_2_rot(dq).T @ v
 
-        w_h, v_h = w_hat1, v_hat1
-        k1_q = qdot(dq_0, w_h) * dt
-        k1_p = pdot(dq_0, v_h) * dt
-        w_h = w_hat1 + 0.5 * w_alpha * dt
-        v_h = v_hat1 + 0.5 * v_jerk * dt
+        k1_q = qdot(dq_0, wh1) * dt
+        u1 = u_of(dq_0, vh1)
+        w_h = wh1 + 0.5 * w_alpha * dt
+        v_h = vh1 + 0.5 * v_jerk * dt
         dq_1 = lie.quat_norm(dq_0 + 0.5 * k1_q)
         k2_q = qdot(dq_1, w_h) * dt
-        k2_p = pdot(dq_1, v_h) * dt
+        u2 = u_of(dq_1, v_h)
         dq_2 = lie.quat_norm(dq_0 + 0.5 * k2_q)
         k3_q = qdot(dq_2, w_h) * dt
-        k3_p = pdot(dq_2, v_h) * dt
-        w_h = w_hat1 + w_alpha * dt
-        v_h = v_hat1 + v_jerk * dt
+        u3 = u_of(dq_2, v_h)
+        w_h = wh1 + w_alpha * dt
+        v_h = vh1 + v_jerk * dt
         dq_3 = lie.quat_norm(dq_0 + k3_q)
         k4_q = qdot(dq_3, w_h) * dt
-        k4_p = pdot(dq_3, v_h) * dt
-
+        u4 = u_of(dq_3, v_h)
         dq = lie.quat_norm(dq_0 + (k1_q + 2 * k2_q + 2 * k3_q + k4_q) / 6.0)
-        R_new = lie.quat_2_rot(lie.quat_multiply(dq, q_local))
-        p_new = p + (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
+        dp_l = (u1 + 2 * u2 + 2 * u3 + u4) / 6.0 * dt
+        return dq, dp_l
 
-        # --- noise covariance accumulation ---
-        if type_code == W3D_ANG:
-            qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
-                               noise_w**2, noise_p**2, noise_p**2], dtype=F64)
-        elif type_code == W3D_LIN:
-            qdiag = jnp.array([noise_v**2 / b**2, noise_p**2, noise_p**2,
-                               noise_v**2 / 4.0, noise_p**2, noise_p**2], dtype=F64)
-        else:
-            qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
-                               noise_v**2, noise_p**2, noise_p**2], dtype=F64)
-        Q = jnp.diag(qdiag / dt_safe)
-        Phi_tr = jnp.zeros((6, 6), dtype=F64)
-        Phi_tr = Phi_tr.at[0:3, 0:3].set(R_new @ R.T)
-        Phi_tr = Phi_tr.at[3:6, 0:3].set(-R.T @ lie.skew(R.T @ (p_new - p)))
-        Phi_tr = Phi_tr.at[3:6, 3:6].set(jnp.eye(3, dtype=F64))
-        Phi_ns = jnp.zeros((6, 6), dtype=F64)
-        Phi_ns = Phi_ns.at[0:3, 0:3].set(dt * jnp.eye(3, dtype=F64))
-        Phi_ns = Phi_ns.at[3:6, 3:6].set(R.T * dt)
-        Cov_new = Phi_tr @ Cov @ Phi_tr.T + Phi_ns @ Q @ Phi_ns.T
-        Cov_new = 0.5 * (Cov_new + Cov_new.T)
+    dqs, dp_l = jax.vmap(rk4_local)(w_hat1, v_hat1, w_hat2, v_hat2, dts,
+                                    dt_safe)
+    id_q = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=F64)
+    dqs = jnp.where(pad[:, None], id_q, dqs)
+    dp_l = jnp.where(pad[:, None], 0.0, dp_l)
 
-        pad = dt <= 0
-        R_out = jnp.where(pad, R, R_new)
-        p_out = jnp.where(pad, p, p_new)
-        Cov_out = jnp.where(pad, Cov, Cov_new)
-        dR_out = jnp.where(pad, dR_di, new_dR_di)
-        dp_out = jnp.where(pad, dp_di, new_dp_di)
-        return (R_out, p_out, Cov_out, dR_out, dp_out), None
+    # prefix rotations: Q_k = dq_k (x) ... (x) dq_1; R_k = R(Q_k) (R_0 = I).
+    # See propagate_arrays: the scan op is the swapped multiply so the left
+    # fold realizes the right-to-left composition.
+    Qpre = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: lie.quat_multiply(b, a)), dqs)
+    R_end = jax.vmap(lie.quat_2_rot)(Qpre)          # (N,3,3) end-of-step
+    eye3 = jnp.eye(3, dtype=F64)
+    R_start = jnp.concatenate([eye3[None], R_end[:-1]], axis=0)
+    RTs = jnp.swapaxes(R_start, -1, -2)             # R_start^T per step
 
-    init = (
-        jnp.eye(3, dtype=F64), jnp.zeros(3, dtype=F64), jnp.zeros((6, 6), dtype=F64),
-        jnp.zeros((3, 3), dtype=F64), jnp.zeros((3, 3), dtype=F64),
-    )
-    inputs = (ts[:-1], m1s[:-1], m2s[:-1], ts[1:], m1s[1:], m2s[1:])
-    (R, p, Cov, dR_di, dp_di), _ = jax.lax.scan(body, init, inputs)
-    return R, p, Cov, dR_di, dp_di
+    # positions: p_k = sum_j R_start_j^T dp_l_j
+    dps = (RTs @ dp_l[..., None])[..., 0]
+    ps = jnp.cumsum(dps, axis=0)
+    p_start = jnp.concatenate([jnp.zeros((1, 3), dtype=F64), ps[:-1]], axis=0)
+
+    # --- intrinsic Jacobians: affine recursions composed associatively ---
+    Hwx = jnp.zeros((N, 3, 3), dtype=F64)
+    Hwx = Hwx.at[:, 2, 0].set(-m1s[:-1] / b)
+    Hwx = Hwx.at[:, 2, 1].set(m2s[:-1] / b)
+    Hwx = Hwx.at[:, 2, 2].set(-w1s / b)
+    Hvx = jnp.zeros((N, 3, 3), dtype=F64)
+    Hvx = Hvx.at[:, 0, 0].set(m1s[:-1] / 2.0)
+    Hvx = Hvx.at[:, 0, 1].set(m2s[:-1] / 2.0)
+    u_steps = -w_hat1 * dts[:, None]
+    R_steps = jax.vmap(lie.exp_so3)(u_steps)
+    Hth = jax.vmap(lie.jl_so3)(u_steps) * dts[:, None, None]
+    A = jnp.where(pad[:, None, None], eye3, R_steps)
+    bvec = jnp.where(pad[:, None, None], 0.0, Hth @ Hwx)
+
+    def compose(c1, c2):  # apply c1 (earlier) then c2
+        A1, b1 = c1
+        A2, b2 = c2
+        return A2 @ A1, A2 @ b1 + b2
+
+    A_pre, b_pre = jax.lax.associative_scan(compose, (A, bvec))
+    dR_di = b_pre[-1]
+    dR_start = jnp.concatenate(
+        [jnp.zeros((1, 3, 3), dtype=F64), b_pre[:-1]], axis=0)
+
+    skew_vdt = jax.vmap(lie.skew)(v_hat1 * dts[:, None])
+    dp_terms = -RTs @ skew_vdt @ dR_start + RTs @ Hvx * dts[:, None, None]
+    dp_terms = jnp.where(pad[:, None, None], 0.0, dp_terms)
+    dp_di = jnp.sum(dp_terms, axis=0)
+
+    # --- noise covariance: per-step (Phi, Q) folded by a tree reduction ---
+    if type_code == W3D_ANG:
+        qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
+                           noise_w**2, noise_p**2, noise_p**2], dtype=F64)
+    elif type_code == W3D_LIN:
+        qdiag = jnp.array([noise_v**2 / b**2, noise_p**2, noise_p**2,
+                           noise_v**2 / 4.0, noise_p**2, noise_p**2], dtype=F64)
+    else:
+        qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
+                           noise_v**2, noise_p**2, noise_p**2], dtype=F64)
+    p_end_steps = ps
+    dloc = jnp.swapaxes(R_start, -1, -2) @ (p_end_steps - p_start)[..., None]
+    Phi_tr = jnp.zeros((N, 6, 6), dtype=F64)
+    Phi_tr = Phi_tr.at[:, 0:3, 0:3].set(R_end @ jnp.swapaxes(R_start, -1, -2))
+    Phi_tr = Phi_tr.at[:, 3:6, 0:3].set(
+        -jnp.swapaxes(R_start, -1, -2) @ jax.vmap(lie.skew)(dloc[..., 0]))
+    Phi_tr = Phi_tr.at[:, 3:6, 3:6].set(eye3)
+    Phi_ns = jnp.zeros((N, 6, 6), dtype=F64)
+    Phi_ns = Phi_ns.at[:, 0:3, 0:3].set(
+        dts[:, None, None] * jnp.broadcast_to(eye3, (N, 3, 3)))
+    Phi_ns = Phi_ns.at[:, 3:6, 3:6].set(
+        jnp.swapaxes(R_start, -1, -2) * dts[:, None, None])
+    Qd = Phi_ns @ (qdiag[None, :, None] / dt_safe[:, None, None]
+                   * jnp.swapaxes(Phi_ns, -1, -2))
+    eye6 = jnp.eye(6, dtype=F64)
+    Phi_tr = jnp.where(pad[:, None, None], eye6, Phi_tr)
+    Qd = jnp.where(pad[:, None, None], 0.0, Qd)
+
+    import numpy as _np
+
+    n_pad = 1 << max(int(_np.ceil(_np.log2(max(N, 1)))), 0)
+    Fs = jnp.concatenate(
+        [Phi_tr, jnp.broadcast_to(eye6, (n_pad - N, 6, 6))], axis=0)
+    Qs = jnp.concatenate(
+        [Qd, jnp.zeros((n_pad - N, 6, 6), dtype=F64)], axis=0)
+    while Fs.shape[0] > 1:
+        F1, F2 = Fs[0::2], Fs[1::2]
+        Q1, Q2 = Qs[0::2], Qs[1::2]
+        Fs = F2 @ F1
+        Qc = F2 @ Q1 @ jnp.swapaxes(F2, -1, -2) + Q2
+        Qs = 0.5 * (Qc + jnp.swapaxes(Qc, -1, -2))
+    Cov = Qs[0]
+
+    return R_end[-1], ps[-1], Cov, dR_di, dp_di
 
 
 @partial(jax.jit, static_argnames=("n_clones", "clone_off", "D", "wheel_ext_off",

@@ -299,3 +299,29 @@ class TestImuBuffer:
         buf.feed(0.01, [0, 0, 0], [0, 0, 9.81])
         assert buf.select(-0.5, 0.005) is None
         assert buf.select(0.005, 0.5) is None
+
+
+def test_propagate_matches_sequential_rk4_random_rotations():
+    """The associative-prefix mean propagation must equal the sequential RK4
+    under strong NON-COMMUTING rotations (regression: the quaternion prefix
+    scan once composed in the wrong order, invisible on yaw-only paths)."""
+    from plviwo_tpu.core import propagator
+
+    rng = np.random.default_rng(0)
+    N, dt = 16, 0.01
+    imu_t = jnp.asarray(np.arange(N) * dt)
+    imu_w = jnp.asarray(rng.normal(0, 2.0, (N, 3)))
+    imu_a = jnp.asarray(np.array([0, 0, 9.81]) + rng.normal(0, 1.0, (N, 3)))
+    g = jnp.asarray([0.0, 0.0, 9.81])
+    q0 = lie.quat_norm(jnp.asarray(rng.normal(size=4)))
+    z3 = jnp.zeros(3)
+    q, p, v, _, _ = propagator.propagate_arrays(
+        q0, z3, z3, z3, z3, q0, z3, z3, imu_t, imu_w, imu_a, g,
+        (1e-4, 1e-3, 1e-5, 1e-3))
+    qs, ps, vs = q0, z3, z3
+    for k in range(N - 1):
+        qs, ps, vs = propagator.rk4_mean(
+            qs, ps, vs, imu_w[k], imu_a[k], imu_w[k + 1], imu_a[k + 1], dt, g)
+    assert float(jnp.linalg.norm(q - qs)) < 1e-12
+    assert float(jnp.linalg.norm(p - ps)) < 1e-12
+    assert float(jnp.linalg.norm(v - vs)) < 1e-12
