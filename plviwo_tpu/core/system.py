@@ -73,6 +73,9 @@ class VioSystem:
         self.sigmas = (op.imu.sigma_w, op.imu.sigma_a, op.imu.sigma_wb, op.imu.sigma_ab)
         self.chi2_table = jnp.asarray(CHI2_TABLE)
         self.distortion_model = cam_ops.RADTAN
+        # landmark error-state representation (reference feat_rep option;
+        # CamHelper.cpp:21-56): GLOBAL_3D or GLOBAL_FULL_INVERSE_DEPTH
+        self.feat_rep = cam_helper.REP_CODES.get(op.cam.feat_rep, 0)
         # wheel
         self.wheel_buf = wheel_up.WheelBuffer()
         self.clone_wv = {}  # clone time -> (w_hat, v) for the wheel dt column
@@ -556,8 +559,9 @@ class VioSystem:
         if self.viz is not None:
             sv = np.asarray(self.state.slam_valid)
             if sv.any():
+                xyz = cam_helper.rep_to_xyz(self.state.slam_p, self.feat_rep)
                 self.viz.add_slam_points(
-                    float(self.state.time), np.asarray(self.state.slam_p)[sv])
+                    float(self.state.time), np.asarray(xyz)[sv])
 
     # ------------------------------------------------------------------
     # telemetry (reference: SystemManager::print_status/print_final_report,
@@ -637,15 +641,19 @@ class VioSystem:
             ob_s = np.full((Su, 1), cur_slot, dtype=np.int32)
             ob_lam = np.zeros((Su, 1))
             ob_valid = np.zeros((Su, 1), dtype=bool); ob_valid[:n, 0] = True
+            rep = self.feat_rep
+            rep_vals = st.slam_p[jnp.asarray(s_arr)]
+            rep_fej = st.slam_p_fej[jnp.asarray(s_arr)]
             Hx, r, rowmask = cam_helper.slam_systems_batch(
-                st.slam_p[jnp.asarray(s_arr)], jnp.asarray(s_arr),
+                cam_helper.rep_to_xyz(rep_vals, rep), jnp.asarray(s_arr),
                 jnp.asarray(uv), ob_s, ob_s, jnp.asarray(ob_lam),
                 jnp.asarray(ob_valid),
                 st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
-                st.slam_p_fej[jnp.asarray(s_arr)],
+                cam_helper.rep_to_xyz(rep_fej, rep),
                 st.cam_q[0], st.cam_p[0], st.cam_k[0],
                 int(self.distortion_model), lo.n_clones, lo.clone_off,
                 lo.slam_off, lo.dim,
+                rep_jac=cam_helper.rep_jacobian(rep_fej, rep),
             )
             sigma2 = op.sigma_pix**2
             # per-landmark chi2 gate, then one stacked update
@@ -718,20 +726,25 @@ class VioSystem:
                 st.cam_q[0], st.cam_p[0], st.cam_k[0],
                 int(self.distortion_model), lo.n_clones, lo.clone_off, lo.dim)
             slot = free.pop(0)
+            rep = self.feat_rep
+            rep0 = cam_helper.xyz_to_rep(p_f[0], rep)
+            # delayed init in the landmark's error-state representation:
+            # H_n = Hf * d(xyz)/d(rep) (CamHelper.cpp:21-56)
+            Hn_rep = Hf[0] @ cam_helper.rep_jacobian(rep0, rep)
             m = rowmask[0].astype(F64)[:, None]
             new_cov, dx_full, dn, *_ = ekf.delayed_init(
-                st.cov, Hx[0] * m, Hf[0] * m, r[0] * rowmask[0],
+                st.cov, Hx[0] * m, Hn_rep * m, r[0] * rowmask[0],
                 jnp.full(r[0].shape, op.sigma_pix**2, dtype=F64),
                 lo.slam(slot), 3)
             if not bool(jnp.all(jnp.isfinite(dn))) or float(jnp.linalg.norm(dn)) > 5.0:
                 free.insert(0, slot)
                 continue
-            new_p = p_f[0] + dn
+            new_rep = rep0 + dn
             st2 = ekf.apply_dx(st, dx_full)
             self.state = st2.replace(
                 cov=new_cov,
-                slam_p=st2.slam_p.at[slot].set(new_p),
-                slam_p_fej=st2.slam_p_fej.at[slot].set(new_p),
+                slam_p=st2.slam_p.at[slot].set(new_rep),
+                slam_p_fej=st2.slam_p_fej.at[slot].set(new_rep),
                 slam_valid=st2.slam_valid.at[slot].set(True),
                 slam_id=st2.slam_id.at[slot].set(fid),
             )

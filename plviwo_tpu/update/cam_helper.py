@@ -31,6 +31,54 @@ F64 = jnp.float64
 
 
 # ---------------------------------------------------------------------------
+# landmark representations (reference: LandmarkRepresentation +
+# CamHelper.cpp:21-56 GLOBAL_3D / GLOBAL_FULL_INVERSE_DEPTH Jacobians)
+# ---------------------------------------------------------------------------
+
+REP_GLOBAL_3D = 0
+REP_GLOBAL_INVERSE_DEPTH = 1
+REP_CODES = {"GLOBAL_3D": REP_GLOBAL_3D,
+             "GLOBAL_FULL_INVERSE_DEPTH": REP_GLOBAL_INVERSE_DEPTH}
+
+
+def rep_to_xyz(rep_p, rep: int):
+    """Representation vector -> global xyz.  Inverse depth: (a, b, rho) ->
+    (a/rho, b/rho, 1/rho)."""
+    if rep == REP_GLOBAL_3D:
+        return rep_p
+    rho = rep_p[..., 2:3]
+    rho_s = jnp.where(jnp.abs(rho) < 1e-12, 1e-12, rho)
+    return jnp.concatenate([rep_p[..., 0:2], jnp.ones_like(rho)], -1) / rho_s
+
+
+def xyz_to_rep(p, rep: int):
+    if rep == REP_GLOBAL_3D:
+        return p
+    z = p[..., 2:3]
+    z_s = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    return jnp.concatenate(
+        [p[..., 0:2] / z_s, jnp.ones_like(z) / z_s], -1)
+
+
+def rep_jacobian(rep_p, rep: int):
+    """d(xyz)/d(rep) (...,3,3) at the representation value (the chain the
+    reference inserts at CamHelper.cpp:21-56)."""
+    if rep == REP_GLOBAL_3D:
+        return jnp.broadcast_to(jnp.eye(3, dtype=rep_p.dtype),
+                                rep_p.shape + (3,))
+    a, b, rho = rep_p[..., 0], rep_p[..., 1], rep_p[..., 2]
+    rho = jnp.where(jnp.abs(rho) < 1e-12, 1e-12, rho)
+    z = jnp.zeros_like(a)
+    inv = 1.0 / rho
+    inv2 = inv * inv
+    return jnp.stack([
+        jnp.stack([inv, z, -a * inv2], -1),
+        jnp.stack([z, inv, -b * inv2], -1),
+        jnp.stack([z, z, -inv2], -1),
+    ], -2)
+
+
+# ---------------------------------------------------------------------------
 # triangulation
 # ---------------------------------------------------------------------------
 
@@ -441,37 +489,43 @@ def slam_systems_batch(
     clone_q, clone_p, clone_q_fej, clone_p_fej,
     slam_p_fej,
     cam_q, cam_p, cam_k, model: int, n_clones: int, clone_off: int,
-    slam_off: int, D: int,
+    slam_off: int, D: int, rep_jac=None,
 ):
     """Linear systems for in-state SLAM landmarks (reference: slam_update,
     UpdaterCamera.cpp:296-338): like the MSCKF systems but the landmark
     Jacobian lands in the state columns at its slam slot — no nullspace
     projection.
 
-    slam_p: (S, 3) landmark estimates; slam_slot: (S,) slot indices;
-    obs_*: (S, O, ...) per-landmark observations.
+    slam_p: (S, 3) landmark estimates IN GLOBAL XYZ; slam_slot: (S,) slot
+    indices; obs_*: (S, O, ...) per-landmark observations; rep_jac: optional
+    (S, 3, 3) d(xyz)/d(rep) chain when the stored error state uses another
+    representation (GLOBAL_FULL_INVERSE_DEPTH, CamHelper.cpp:21-56).
     Returns Hx (S, 2O, D), r (S, 2O), rowmask (S, 2O).
     """
+    if rep_jac is None:
+        rep_jac = jnp.broadcast_to(jnp.eye(3, dtype=slam_p.dtype),
+                                   slam_p.shape + (3,))
 
-    def one(lm, lm_fej, slot, uv, s0, s1, lam, valid):
+    def one(lm, lm_fej, slot, uv, s0, s1, lam, valid, J_rep):
         Hx, Hf, r, rowmask = _point_system_interp_single(
             lm, uv, s0, s1, lam, valid,
             clone_q, clone_p, clone_q_fej, clone_p_fej,
             cam_q, cam_p, cam_k, model, n_clones, clone_off, D,
         )
-        # place the landmark Jacobian into its state columns; note the
-        # reference evaluates it at the landmark FEJ — jacfwd above used the
-        # estimate for the pose chain; the landmark block is linear in p_f so
-        # fej/est coincide up to the pose FEJ already applied
+        # place the landmark Jacobian (chained through the representation)
+        # into its state columns; the reference evaluates it at the landmark
+        # FEJ — jacfwd above used the estimate for the pose chain; the xyz
+        # block is linear in p_f so fej/est coincide up to the pose FEJ
         start = (slam_off + 3 * slot).astype(jnp.int32)
         zero = jnp.int32(0)
         Hx = jax.lax.dynamic_update_slice(
-            Hx, Hf + jax.lax.dynamic_slice(Hx, (zero, start), (Hx.shape[0], 3)),
+            Hx, Hf @ J_rep
+            + jax.lax.dynamic_slice(Hx, (zero, start), (Hx.shape[0], 3)),
             (zero, start))
         return Hx, r, rowmask
 
     return jax.vmap(one)(slam_p, slam_p_fej, slam_slot, obs_uv, obs_s0, obs_s1,
-                         obs_lam, obs_valid)
+                         obs_lam, obs_valid, rep_jac)
 
 
 def _nullspace(Hf, Hx, r):

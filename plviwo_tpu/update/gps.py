@@ -423,7 +423,12 @@ class GpsUpdater:
                    lo.wtoe_off : lo.wtoe_off + 4])
 
         # --- whole-state rotation into ENU + transform marginalization
-        # (reference: transform_state_to_ENU, UpdaterGPS.cpp:457-516) ---
+        # (reference: transform_state_to_ENU, UpdaterGPS.cpp:457-516).
+        # Non-xyz landmark representations do not rotate linearly — drop the
+        # landmarks first (the reference marginalizes SLAM here regardless).
+        if getattr(system, "feat_rep", 0) != 0:
+            for slot in np.nonzero(np.asarray(st.slam_valid))[0]:
+                st = ekf.marginalize_slam_slot(st, int(slot))
         system.state = transform_state_to_enu_marg_trans(st)
         # rotate the recorded trajectory too (it is now in ENU)
         system.traj = [

@@ -11,10 +11,12 @@ from plviwo_tpu.sim.simulator import SimConfig, Simulator
 
 
 @pytest.mark.slow
-def test_slam_features_e2e():
+@pytest.mark.parametrize("feat_rep", ["GLOBAL_3D", "GLOBAL_FULL_INVERSE_DEPTH"])
+def test_slam_features_e2e(feat_rep):
     cfg = SimConfig(duration=10.0, seed=1, sigma_pix=0.5, n_pts=45)
     sim = Simulator(cfg)
     opts = EstimatorOptions()
+    opts.cam.feat_rep = feat_rep
     opts.cam.max_slam = 8
     opts.cam.max_msckf = 25
     opts.cam.sigma_pix = 0.5
@@ -47,7 +49,10 @@ def test_slam_features_e2e():
     # initialized landmarks should be near true landmark positions
     slam_valid = np.asarray(sys_.state.slam_valid)
     slam_id = np.asarray(sys_.state.slam_id)
-    slam_p = np.asarray(sys_.state.slam_p)
+    from plviwo_tpu.update import cam_helper
+
+    slam_p = np.asarray(cam_helper.rep_to_xyz(sys_.state.slam_p,
+                                              sys_.feat_rep))
     n_checked = 0
     for slot in np.nonzero(slam_valid)[0]:
         fid = int(slam_id[slot])
@@ -56,3 +61,24 @@ def test_slam_features_e2e():
             assert err < 2.0, f"landmark {fid} error {err:.2f} m"
             n_checked += 1
     assert n_checked > 0
+
+
+def test_inverse_depth_rep_roundtrip_and_jacobian():
+    from plviwo_tpu.update import cam_helper as ch
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(5, 3)) + np.array([0, 0, 5.0]))
+    rep = ch.xyz_to_rep(p, ch.REP_GLOBAL_INVERSE_DEPTH)
+    back = ch.rep_to_xyz(rep, ch.REP_GLOBAL_INVERSE_DEPTH)
+    np.testing.assert_allclose(back, p, atol=1e-12)
+    J = ch.rep_jacobian(rep, ch.REP_GLOBAL_INVERSE_DEPTH)
+    eps = 1e-6
+    for k in range(3):
+        d = jnp.zeros(3).at[k].set(eps)
+        fd = (ch.rep_to_xyz(rep + d, ch.REP_GLOBAL_INVERSE_DEPTH)
+              - ch.rep_to_xyz(rep - d, ch.REP_GLOBAL_INVERSE_DEPTH)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J)[:, :, k], fd,
+                                   rtol=1e-6, atol=1e-6)
+    # GLOBAL_3D is the identity
+    J3 = ch.rep_jacobian(p, ch.REP_GLOBAL_3D)
+    np.testing.assert_allclose(J3, np.tile(np.eye(3), (5, 1, 1)))
