@@ -151,6 +151,74 @@ def build_interp_table(
     return jax.vmap(one)(sup_slot, sup_dt, dt_eval)
 
 
+@partial(jax.jit, static_argnames=("n_clones",))
+def build_cpi_table(
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    anchor_slot, anchor_v, imu_t, imu_w, imu_a,
+    bg, ba, gravity,
+    n_clones: int,
+):
+    """CPI-based interpolated-pose table: the `use_imu_res` alternative to
+    the polynomial table (reference: State::get_interpolated_pose_imu +
+    the cpis side-band, State.cpp:1138-1155, Propagator.cpp:63-82).
+
+    Each eval time anchors at the clone at-or-before it; the pose is the CPI
+    preintegral from the anchor over the per-time IMU window:
+        R_t = R_k2tau R_a,
+        p_t = p_a + v_a dt - 0.5 g dt^2 + R_a^T alpha.
+    FEJ Jacobian wrt the anchor clone: dtheta_t/dtheta_a = R_k2tau,
+    dp_t/dp_a = I, dp_t/dtheta_a = -R_a(fej)^T [alpha]x.  The anchor
+    velocity is the recorded propagated estimate (not a state); its
+    uncertainty is part of the interpolation-noise inflation, as in the
+    reference's use_imu_cov option.
+
+    Args:
+      anchor_slot: (T,) anchor clone slots.  anchor_v: (T,3).
+      imu_t/imu_w/imu_a: (T,N[,3]) padded windows from anchor time to the
+      eval time (repeated-last padding; dt=0 steps are identities).
+    Returns the same row format as `build_interp_table`:
+      tq, tp, tq_f, tp_f, tJ (T,6,6C), tJt (T,6).
+    """
+    from ..ops import lie
+    from .cpi import cpi_v1
+
+    def one(slot, v_a, ts, ws, accs):
+        cpi = cpi_v1(ts, ws, accs, bg, ba)
+        last = {k: v[-1] for k, v in cpi.items()}
+        R_rel = last["R_k2tau"]
+        dt = last["dt"]
+        alpha = last["alpha"]
+        beta = last["beta"]
+        w_tau = last["w_tau"]
+
+        q_a, p_a = clone_q[slot], clone_p[slot]
+        R_a = lie.quat_2_rot(q_a)
+        R_t = R_rel @ R_a
+        p_t = p_a + v_a * dt - 0.5 * gravity * dt * dt + R_a.T @ alpha
+
+        q_af, p_af = clone_q_fej[slot], clone_p_fej[slot]
+        R_af = lie.quat_2_rot(q_af)
+        R_tf = R_rel @ R_af
+        p_tf = p_af + v_a * dt - 0.5 * gravity * dt * dt + R_af.T @ alpha
+
+        # anchor-clone Jacobian block (6 x 6) at FEJ
+        block = jnp.zeros((6, 6), dtype=clone_q.dtype)
+        block = block.at[0:3, 0:3].set(R_rel)
+        block = block.at[3:6, 0:3].set(-R_af.T @ lie.skew(alpha))
+        block = block.at[3:6, 3:6].set(jnp.eye(3, dtype=clone_q.dtype))
+        onehot = jax.nn.one_hot(slot, n_clones, dtype=clone_q.dtype)  # (C,)
+        Jfull = (onehot[None, :, None] * block[:, None, :]).reshape(
+            6, 6 * n_clones)
+
+        # d pose / d t_eval: body rate and velocity at tau
+        v_t = v_a - gravity * dt + R_a.T @ beta
+        Jt = jnp.concatenate([w_tau, v_t])
+        return (lie.rot_2_quat(R_t), p_t, lie.rot_2_quat(R_tf), p_tf,
+                Jfull, Jt)
+
+    return jax.vmap(one)(anchor_slot, anchor_v, imu_t, imu_w, imu_a)
+
+
 def bounding_clones(clone_t, clone_valid, t):
     """Slots of the clones bounding time t (host-free, masked argmin logic).
 

@@ -33,7 +33,7 @@ from ..update import wheel as wheel_up
 from ..update.feature_db import FeatureDatabase, LineDatabase
 from . import dynamic_cloning as dynclone
 from . import ekf, propagator
-from .interp import build_interp_table
+from .interp import build_cpi_table, build_interp_table
 from .layout import StateLayout
 from .state import FilterState, make_state, oldest_clone_slot
 
@@ -405,7 +405,8 @@ class VioSystem:
             # wheel dt-calibration column (the reference's CPI side-band w/v,
             # UpdaterWheel.cpp:400-414; here the propagated state at the clone
             # time is exactly the CPI reconstruction)
-            if self.opts.wheel.enabled and self.opts.wheel.do_calib_dt:
+            if ((self.opts.wheel.enabled and self.opts.wheel.do_calib_dt)
+                    or self.opts.use_imu_res):
                 wa = self.imu_buf.at(t_frame)
                 if wa is not None:
                     self.clone_wv[t_frame] = (
@@ -542,6 +543,8 @@ class VioSystem:
         if self.fdb_native is not None:
             self.fdb_native.cleanup(t_min)
         self.fdb.cleanup(t_min)
+        for t in [t for t in self.clone_wv if t < t_min]:
+            del self.clone_wv[t]
 
     def _db_remove(self, fids):
         if self.fdb_native is not None:
@@ -992,6 +995,8 @@ class VioSystem:
         lo = self.layout
         if len(vt) < 2 or not obs_valid.any():
             return None
+        if self.opts.use_imu_res:
+            return self._cpi_table(vt, vslots, obs_t, obs_valid)
         order = (self._cur_order if self.opts.dynamic_cloning
                  else self.opts.intr_order)
         order = max(1, min(order, len(vt) - 1))
@@ -1030,6 +1035,62 @@ class VioSystem:
         is_interp = ~np.isin(obs_t, vt) if abs(dt_shift) < 1e-9 else \
             np.ones_like(obs_valid)
         return obs_tidx, tq, tp, tq_f, tp_f, tJ, tJt, is_interp, order
+
+    def _cpi_table(self, vt, vslots, obs_t, obs_valid):
+        """CPI-based interpolated-pose table (`use_imu_res`, the reference's
+        State::get_interpolated_pose_imu alternative): each unique measurement
+        time anchors at the clone at-or-before it and integrates the IMU
+        window from the anchor (core/interp.build_cpi_table).  Mutates
+        obs_valid in place for uncoverable times.  Same return contract as
+        the polynomial branch of `_interp_table`."""
+        st = self.state
+        lo = self.layout
+        CPI_PAD = 64
+        T = 2 * lo.n_clones + 8
+        tarr = np.unique(obs_t[obs_valid])
+        if len(tarr) > T:
+            tarr = tarr[-T:]
+            obs_valid &= np.isin(obs_t, tarr)
+        dt_shift = (float(np.asarray(st.cam_dt)[0]) - getattr(self, "_cam_dt0", 0.0)
+                    if self.opts.cam.do_calib_dt else 0.0)
+        anchor_slot = np.zeros(T, dtype=np.int32)
+        anchor_v = np.zeros((T, 3))
+        wt = np.zeros((T, CPI_PAD))
+        ww = np.zeros((T, CPI_PAD, 3))
+        wa = np.zeros((T, CPI_PAD, 3))
+        drop_times = set()
+        for i, ti in enumerate(tarr):
+            j = int(np.searchsorted(vt, ti + 1e-12, side="right") - 1)
+            if j < 0:
+                drop_times.add(ti)
+                continue
+            anchor_slot[i] = vslots[j]
+            wv = self.clone_wv.get(float(vt[j]))
+            anchor_v[i] = wv[1] if wv is not None else np.asarray(st.v)
+            te = ti + dt_shift
+            if te - vt[j] < 1e-9:
+                wt[i] = np.full(CPI_PAD, vt[j])
+            else:
+                sel = self.imu_buf.select(float(vt[j]), float(te),
+                                          pad_to=CPI_PAD)
+                if sel is None:
+                    drop_times.add(ti)
+                    continue
+                wt[i], ww[i], wa[i] = sel
+        if drop_times:
+            obs_valid &= ~np.isin(obs_t, sorted(drop_times))
+            if not obs_valid.any():
+                return None
+        obs_tidx = np.searchsorted(tarr, obs_t).clip(0, T - 1).astype(np.int32)
+        obs_tidx[~obs_valid] = 0
+        tq, tp, tq_f, tp_f, tJ, tJt = build_cpi_table(
+            st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
+            jnp.asarray(anchor_slot), jnp.asarray(anchor_v),
+            jnp.asarray(wt), jnp.asarray(ww), jnp.asarray(wa),
+            st.bg, st.ba, self.gravity, n_clones=lo.n_clones)
+        is_interp = ~np.isin(obs_t, vt) if abs(dt_shift) < 1e-9 else \
+            np.ones_like(obs_valid)
+        return obs_tidx, tq, tp, tq_f, tp_f, tJ, tJt, is_interp, 1
 
     def _msckf_update(self, t_frame, marg_times):
         op = self.opts.cam

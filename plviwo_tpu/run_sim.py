@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
     ap.add_argument("--auto-init", action="store_true",
                     help="use the IMU(+wheel) initializer instead of ground-truth seeding")
+    ap.add_argument("--imu-res", action="store_true",
+                    help="CPI-based interpolated poses (use_imu_res) instead "
+                         "of the polynomial table")
     ap.add_argument("--dynamic", action="store_true",
                     help="adaptive clone cadence with interpolated-pose updates")
     ap.add_argument("--clone-freq", type=int, default=None,
@@ -78,6 +81,7 @@ def main(argv=None):
 
     opts = EstimatorOptions()
     opts.dynamic_cloning = args.dynamic
+    opts.use_imu_res = args.imu_res
     if args.clone_freq is not None:
         opts.clone_freq = args.clone_freq
     if args.intr_order is not None:

@@ -61,3 +61,25 @@ def test_order3_at_low_clone_rate():
     assert sys3.stats["clones"] < 0.75 * len(sys3.traj) + 60
     assert sys3.stats["updates"] > 10
     assert sys3.stats["lost_marg_obs"] == 0
+
+
+@pytest.mark.slow
+def test_cpi_interpolation_e2e():
+    """use_imu_res: CPI-based interpolated poses (State.cpp:1138-1155
+    analogue) must hold accuracy at the default clone rate (the regime the
+    reference runs it in; at sparse dynamic cloning the polynomial table is
+    the better tool and remains the default)."""
+    import contextlib
+    import io
+    import json
+
+    from plviwo_tpu.run_sim import main as run_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = run_main(["--platform", "cpu", "--duration", "8", "--seed", "3",
+                       "--imu-res", "--out", "/tmp/_cpi_traj.txt"])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["ate_rmse_m"] < 0.2, out
+    assert out["cam_accept_rate"] > 0.5, out
