@@ -51,16 +51,25 @@ def main(argv=None):
         print(json.dumps({"error": f"no sensor_data/xsens_imu.csv under {args.root}"}))
         return 2
 
-    # KAIST stereo left camera calibration (urban sequences; see
-    # calibration/left.yaml in the dataset — values for the standard rig)
+    # default left-camera calibration (standard KAIST rig); overridden by the
+    # layered YAML config's cam.intrinsics/extrinsics (configs/kaist/
+    # config_camera.yaml carries the reference's calibrated values)
     cam_k = [816.402, 817.316, 608.826, 266.688, -0.0568, 0.0836, 0.0007, -0.0004]
     cam_q = [0.5019, -0.4999, 0.4981, -0.5001]  # q_ItoC approx (forward camera)
     cam_p = [0.0, 0.0, 0.0]
+    cam_dt = 0.0
 
     if args.config:
         from .config.yaml_io import load_options
 
         opts = load_options(args.config).est
+        if opts.cam.intrinsics:
+            cam_k = list(opts.cam.intrinsics[0])
+        if opts.cam.extrinsics:
+            ext = list(opts.cam.extrinsics[0])
+            cam_q, cam_p = ext[0:4], ext[4:7]
+        if opts.cam.timeoffsets:
+            cam_dt = float(opts.cam.timeoffsets[0])
     else:
         opts = EstimatorOptions()
     opts.dynamic_cloning = args.dynamic or opts.dynamic_cloning
@@ -83,7 +92,7 @@ def main(argv=None):
         opts.gps.init_distance = 20.0
 
     sys_ = VioSystem(opts)
-    sys_.set_calibration(cam_k, cam_q, cam_p)
+    sys_.set_calibration(cam_k, cam_q, cam_p, cam_dt=cam_dt)
     if args.wheel:
         sys_.set_wheel_calibration([0.0, 0.0, 0.0, 1.0], [0.0, 0.0, 0.0],
                                    list(ds.wheel_intr))

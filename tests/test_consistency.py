@@ -45,12 +45,18 @@ def test_position_nees_consistent(tmp_path):
             t = float(st.time)
             kin = sim.gt_kin(t)
             cov = np.asarray(st.cov)
+            j = min(int(np.searchsorted(imu_t, t)), len(imu_t) - 1)
+            dR = np.asarray(lie.quat_2_rot(st.q)) @ np.asarray(kin["R_GtoI"]).T
+            d = np.sqrt(np.maximum(np.diag(cov)[:15], 1e-18))
             rows.append({
-                "perr": np.asarray(st.p) - np.asarray(kin["p_IinG"]),
-                "pstd": np.sqrt(np.maximum(np.diag(cov)[3:6], 1e-18)),
-                "q": np.asarray(st.q),
-                "q_gt": np.asarray(lie.rot_2_quat(kin["R_GtoI"])),
-                "ostd": np.sqrt(np.maximum(np.diag(cov)[0:3], 1e-18)),
+                "p": np.sum(((np.asarray(st.p) - kin["p_IinG"]) / d[3:6]) ** 2),
+                "o": np.sum((np.asarray(lie.log_so3(jnp.asarray(dR)))
+                             / d[0:3]) ** 2),
+                "v": np.sum(((np.asarray(st.v) - kin["v_IinG"]) / d[6:9]) ** 2),
+                "bg": np.sum(((np.asarray(st.bg) - sim.bg_true[j])
+                              / d[9:12]) ** 2),
+                "ba": np.sum(((np.asarray(st.ba) - sim.ba_true[j])
+                              / d[12:15]) ** 2),
             })
             rec.record(sys_)
     rec.save()
@@ -59,20 +65,12 @@ def test_position_nees_consistent(tmp_path):
     # skip the initialization transient
     rows = rows[10:]
     assert len(rows) > 60
-    nees_p = np.asarray([
-        np.sum((r["perr"] / r["pstd"]) ** 2) for r in rows
-    ])
-    mean_nees = float(np.mean(nees_p))
-    # a perfectly consistent filter gives E[NEES] = 3; allow generous slack —
-    # catastrophic overconfidence (NEES >> 10) or a covariance blow-up
-    # (NEES << 0.1) is what this guards against
-    assert 0.2 < mean_nees < 15.0, f"position NEES mean {mean_nees:.2f}"
-
-    ang_err = []
-    for r in rows:
-        dR = np.asarray(lie.quat_2_rot(jnp.asarray(r["q"]))) @ \
-            np.asarray(lie.quat_2_rot(jnp.asarray(r["q_gt"]))).T
-        th = np.asarray(lie.log_so3(jnp.asarray(dR)))
-        ang_err.append(np.sum((th / r["ostd"]) ** 2))
-    mean_nees_o = float(np.mean(ang_err))
-    assert 0.1 < mean_nees_o < 20.0, f"orientation NEES mean {mean_nees_o:.2f}"
+    # full-state sweep (the reference's ResultSimulation checks every state
+    # block).  A consistent filter gives E[NEES] = 3 per 3-dof block; measured
+    # means sit at 0.7-2.3, so the band [0.15, 6] catches a 3-sigma-level
+    # inconsistency (mean ~9) as well as covariance blow-ups, with ~2.5x
+    # seed slack.
+    for key in ("p", "o", "v", "bg", "ba"):
+        vals = np.asarray([r[key] for r in rows])
+        mean_nees = float(np.mean(vals))
+        assert 0.15 < mean_nees < 6.0, f"{key} NEES mean {mean_nees:.2f}"
