@@ -101,35 +101,43 @@ def step_transition(
     dt_safe = jnp.where(dt > 0, dt, 1.0)
     Jr_neg = lie.jr_so3(-w_hat * dt)
 
-    F = jnp.eye(15, dtype=dtype)
-    F = F.at[0:3, 0:3].set(dR)
-    F = F.at[0:3, 9:12].set(-dR @ Jr_neg * dt)
-    F = F.at[3:6, 0:3].set(
-        -lie.skew(new_p - p_fej - v_fej * dt + 0.5 * gravity * dt * dt) @ Rfej.T
-    )
-    F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype) * dt)
-    F = F.at[3:6, 12:15].set(-0.5 * Rfej.T * dt * dt)
-    F = F.at[6:9, 0:3].set(-lie.skew(new_v - v_fej + gravity * dt) @ Rfej.T)
-    F = F.at[6:9, 12:15].set(-Rfej.T * dt)
+    # block-concatenated build (scatterless; XLA fuses this into one buffer
+    # write instead of a chain of dynamic-update-slices)
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
+    A = -dR @ Jr_neg * dt  # theta/bg block == theta noise map
+    skP = -lie.skew(new_p - p_fej - v_fej * dt + 0.5 * gravity * dt * dt) @ Rfej.T
+    skV = -lie.skew(new_v - v_fej + gravity * dt) @ Rfej.T
+    Bm = -0.5 * Rfej.T * dt * dt  # p/ba block == p accel-noise map
+    Cm = -Rfej.T * dt             # v/ba block == v accel-noise map
+    F = jnp.concatenate([
+        jnp.concatenate([dR, Z3, Z3, A, Z3], 1),
+        jnp.concatenate([skP, I3, I3 * dt, Z3, Bm], 1),
+        jnp.concatenate([skV, Z3, I3, Z3, Cm], 1),
+        jnp.concatenate([Z3, Z3, Z3, I3, Z3], 1),
+        jnp.concatenate([Z3, Z3, Z3, Z3, I3], 1),
+    ], 0)
 
-    G = jnp.zeros((15, 12), dtype=dtype)
-    G = G.at[0:3, 0:3].set(-dR @ Jr_neg * dt)
-    G = G.at[6:9, 3:6].set(-Rfej.T * dt)
-    G = G.at[3:6, 3:6].set(-0.5 * Rfej.T * dt * dt)
-    G = G.at[9:12, 6:9].set(jnp.eye(3, dtype=dtype))
-    G = G.at[12:15, 9:12].set(jnp.eye(3, dtype=dtype))
-
+    # Qd = G diag(qc) G^T in closed form (G sparse; R^T R = I collapses the
+    # accel-noise blocks to scalars):
+    #   theta-theta: qw A A^T;  p-p: 0.25 dt^4 qa I;  p-v: 0.5 dt^3 qa I;
+    #   v-v: dt^2 qa I;  bg: qwb I;  ba: qab I.
     sw, sa, swb, sab = sigmas
-    qc_diag = jnp.concatenate(
-        [
-            jnp.full((3,), sw**2 / dt_safe, dtype=dtype),
-            jnp.full((3,), sa**2 / dt_safe, dtype=dtype),
-            jnp.full((3,), swb**2 * dt_safe, dtype=dtype),
-            jnp.full((3,), sab**2 * dt_safe, dtype=dtype),
-        ]
-    )
-    Qd = G @ (qc_diag[:, None] * G.T)
-    Qd = 0.5 * (Qd + Qd.T)
+    qw = sw**2 / dt_safe
+    qa = sa**2 / dt_safe
+    qwb = swb**2 * dt_safe
+    qab = sab**2 * dt_safe
+    Qtt = qw * (A @ A.T)
+    Qpp = (0.25 * dt**4 * qa) * I3
+    Qpv = (0.5 * dt**3 * qa) * I3
+    Qvv = (dt**2 * qa) * I3
+    Qd = jnp.concatenate([
+        jnp.concatenate([Qtt, Z3, Z3, Z3, Z3], 1),
+        jnp.concatenate([Z3, Qpp, Qpv, Z3, Z3], 1),
+        jnp.concatenate([Z3, Qpv, Qvv, Z3, Z3], 1),
+        jnp.concatenate([Z3, Z3, Z3, qwb * I3, Z3], 1),
+        jnp.concatenate([Z3, Z3, Z3, Z3, qab * I3], 1),
+    ], 0)
 
     # dt == 0 (padding): identity transition, no noise
     is_pad = dt <= 0

@@ -38,6 +38,41 @@ def solve3x3(A, b):
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def eigvals_sym3x3(A):
+    """Closed-form eigenvalues of symmetric (...,3,3), ascending.
+
+    Trigonometric method (Smith): no iterative QR — batched elementwise math
+    only (the TPU replacement for `jnp.linalg.eigvalsh` in hot conditioning
+    gates).
+    """
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01**2 + a02**2 + a12**2
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-300))
+    b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+    b01, b02, b12 = a01 / p, a02 / p, a12 / p
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    # nearly-scalar matrices: p2 ~ 0 -> all eigenvalues = q
+    scalar = p2 < 1e-30
+    e_lo = jnp.where(scalar, q, e_lo)
+    e_mid = jnp.where(scalar, q, e_mid)
+    e_hi = jnp.where(scalar, q, e_hi)
+    return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+
+
 def solve_psd(S, b):
     """Cholesky solve for symmetric PSD S (...,n,n), b (...,n) or (...,n,k)."""
     L = jnp.linalg.cholesky(S)

@@ -122,8 +122,10 @@ def triangulate_batch(
     A = jnp.sum(P_perp, axis=1)  # (F,3,3)
     rhs = jnp.sum(jnp.einsum("...ij,...j->...i", P_perp, c), axis=1)  # (F,3)
 
-    # condition gate
-    eigs = jnp.linalg.eigvalsh(A)
+    # condition gate (closed-form symmetric eigenvalues — no iterative QR)
+    from ..ops.linalg import eigvals_sym3x3
+
+    eigs = eigvals_sym3x3(A)
     cond = eigs[..., 2] / jnp.maximum(eigs[..., 0], 1e-12)
     A_reg = A + 1e-9 * eye
     p0 = solve3x3(A_reg, rhs)
