@@ -102,12 +102,13 @@ def fused_step(
     return state, metrics
 
 
-def _camera_msckf_update(
+def _camera_msckf_rows(
     state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
     sigma_pix, chi2_mult, model: int, cam_dtype,
 ):
     """The point-MSCKF slice of the fused step (triangulate -> systems ->
-    nullspace+gate -> compress -> EKF update)."""
+    nullspace+gate -> compress); returns a unit-noise-whitened compressed
+    system (Hc, rc, mask, metrics) for the frame's joint EKF update."""
     lo: StateLayout = state.layout
     cd = cam_dtype
     cq = state.clone_q[obs_slot].astype(cd)
@@ -139,18 +140,28 @@ def _camera_msckf_update(
     r_all = rn.reshape(M)
     mask_all = rowvalid.reshape(M)
     Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
-    state = ekf.update(state, Hc.astype(F64), rc.astype(F64),
-                       jnp.full(rc.shape, sigma2, dtype=F64), cmask)
-
+    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
     metrics = {
         "accepted": jnp.sum(feat_ok),
         "rows": jnp.sum(mask_all),
         "avg_reproj": jnp.mean(jnp.where(ok, avg_err, 0.0)),
     }
+    return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
+
+
+def _camera_msckf_update(
+    state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
+    sigma_pix, chi2_mult, model: int, cam_dtype,
+):
+    """Rows + one EKF update (the points-only `fused_step` path)."""
+    Hc, rc, cmask, metrics = _camera_msckf_rows(
+        state, obs_uv, obs_uvn, obs_slot, obs_valid, sigma_pix, chi2_mult,
+        model, cam_dtype)
+    state = ekf.update(state, Hc, rc, jnp.ones(rc.shape, dtype=F64), cmask)
     return state, metrics
 
 
-def _line_msckf_update(
+def _line_msckf_rows(
     state: FilterState, line_uv, line_uvn, line_slot, line_valid,
     sigma_line, chi2_mult, cam_dtype=jnp.float64,
 ):
@@ -192,12 +203,24 @@ def _line_msckf_update(
     M = Hn.shape[0] * Hn.shape[1]
     Hc, rc, cmask = ekf.measurement_compress(
         Hn.reshape(M, lo.dim), rn.reshape(M), rowvalid.reshape(M))
-    state = ekf.update(state, Hc.astype(F64), rc.astype(F64),
-                       jnp.full(rc.shape, sigma2, dtype=F64), cmask)
-    return state, jnp.sum(line_ok)
+    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+    return (Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask,
+            jnp.sum(line_ok))
 
 
-def _wheel_update_fused(
+def _line_msckf_update(
+    state: FilterState, line_uv, line_uvn, line_slot, line_valid,
+    sigma_line, chi2_mult, cam_dtype=jnp.float64,
+):
+    """Rows + one EKF update (sequential variant)."""
+    Hc, rc, cmask, n_ok = _line_msckf_rows(
+        state, line_uv, line_uvn, line_slot, line_valid, sigma_line,
+        chi2_mult, cam_dtype)
+    state = ekf.update(state, Hc, rc, jnp.ones(rc.shape, dtype=F64), cmask)
+    return state, n_ok
+
+
+def _wheel_rows(
     state: FilterState, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
     wheel_noise, chi2_mult, wheel_type: int,
 ):
@@ -226,8 +249,19 @@ def _wheel_update_fused(
     chi2_table = jnp.asarray(_CHI2_NP)
     accept = (chi < chi2_table[6] * chi2_mult) & wheel_valid
     mask = mask & accept
-    state = ekf.update(state, Hw, rw, ones, mask)
-    return state, accept.astype(jnp.int32)
+    return Hw, rw, mask, accept.astype(jnp.int32)
+
+
+def _wheel_update_fused(
+    state: FilterState, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
+    wheel_noise, chi2_mult, wheel_type: int,
+):
+    """Rows + one EKF update (sequential variant)."""
+    Hw, rw, mask, accept = _wheel_rows(
+        state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
+        wheel_noise, chi2_mult, wheel_type)
+    state = ekf.update(state, Hw, rw, jnp.ones(6, dtype=F64), mask)
+    return state, accept
 
 
 @partial(
@@ -264,15 +298,27 @@ def fused_step_full(
     state = ekf.augment_clone(state)
     slot1 = newest_clone_slot(state)  # the clone just inserted (t = t_new)
 
-    state, metrics = _camera_msckf_update(
+    # JOINT multi-sensor update (TPU-first design; the reference updates
+    # sensor-by-sensor, UpdaterCamera then lines then wheel, re-linearizing
+    # between — here all whitened compressed rows are built at the same
+    # pre-update state and applied in ONE compress + EKF update, saving two
+    # full covariance rewrites per frame; differences vs sequential are
+    # second order in the per-frame correction and regression-tested).
+    Hc1, rc1, m1, metrics = _camera_msckf_rows(
         state, obs_uv, obs_uvn, obs_slot, obs_valid, sigma_pix, chi2_mult,
         model, cam_dtype)
-    state, lines_accepted = _line_msckf_update(
+    Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
         state, line_uv, line_uvn, line_slot, line_valid, sigma_line, chi2_mult,
         cam_dtype=cam_dtype)
-    state, wheel_accepted = _wheel_update_fused(
+    Hw, rw, mw, wheel_accepted = _wheel_rows(
         state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
         wheel_noise, chi2_mult, wheel_type)
+
+    H_all = jnp.concatenate([Hc1, Hc2, Hw], axis=0)
+    r_all = jnp.concatenate([rc1, rc2, rw])
+    mask_all = jnp.concatenate([m1, m2, mw])
+    Hj, rj, mj = ekf.measurement_compress(H_all, r_all, mask_all)
+    state = ekf.update(state, Hj, rj, jnp.ones(rj.shape, dtype=F64), mj)
 
     metrics = dict(metrics)
     metrics["lines_accepted"] = lines_accepted
