@@ -63,6 +63,30 @@ def cmd_timing(args):
     return 0
 
 
+def cmd_dataset(args):
+    """Per-dataset error aggregation over runs (error_dataset equivalent):
+    each --pair is est,gt; runs sharing a gt file group into one dataset."""
+    groups = {}
+    for pair in args.pair:
+        est, gt = pair.split(",")
+        groups.setdefault(gt, []).append(est)
+    out = {}
+    all_rmse = []
+    for gt, ests in groups.items():
+        t_g, p_g, q_g = load_tum(gt)
+        rmses = []
+        for est in ests:
+            t_e, p_e, q_e = load_tum(est)
+            res = ate(t_e, p_e, q_e, t_g, p_g, q_g, method=args.align)
+            rmses.append(res.get("pos", {}).get("rmse", float("nan")))
+        out[gt] = {"runs": len(ests),
+                   "ate_rmse": Stats.from_values(np.asarray(rmses)).as_dict()}
+        all_rmse.extend(rmses)
+    out["overall_mean_rmse"] = float(np.mean(all_rmse)) if all_rmse else None
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_nees(args):
     """Full-state NEES over recorder est/std/gt triplets (error_simulation /
     ResultSimulation semantics, ov_eval calc/ResultSimulation.h:52-80)."""
@@ -184,6 +208,11 @@ def main(argv=None):
     t = sub.add_parser("timing", help="timing-file statistics (timing_histogram)")
     t.add_argument("file")
     t.set_defaults(fn=cmd_timing)
+
+    ds = sub.add_parser("dataset", help="per-dataset error over runs (error_dataset)")
+    ds.add_argument("pair", nargs="+", help="est.txt,gt.txt per run")
+    ds.add_argument("--align", default="posyaw")
+    ds.set_defaults(fn=cmd_dataset)
 
     n = sub.add_parser(
         "nees", help="full-state NEES over recorder triplets (error_simulation)")

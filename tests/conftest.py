@@ -34,14 +34,16 @@ _test_counter = {"n": 0}
 
 
 @pytest.fixture(autouse=True)
-def _periodic_jax_cache_clear():
+def _periodic_jax_cache_clear(request):
     """XLA:CPU in this image crashes (SIGSEGV/abort inside compile) once a
     single process accumulates ~500 live compiled executables (reproduced at
-    the ~125th test twice, different crash sites, with and without native
-    code loaded).  Dropping the in-memory executable caches every 25 tests
-    keeps the population bounded; the persistent disk cache makes the
+    the ~125th fast test and after ~11 slow e2e tests).  Drop the in-memory
+    executable caches every 25 fast tests and after EVERY slow test (each
+    slow e2e compiles a whole pipeline); the persistent disk cache makes the
     re-loads cheap."""
     yield
     _test_counter["n"] += 1
-    if _test_counter["n"] % 25 == 0:
+    if request.node.get_closest_marker("slow") is not None:
+        jax.clear_caches()
+    elif _test_counter["n"] % 25 == 0:
         jax.clear_caches()

@@ -1,5 +1,10 @@
 """Profile the camera-update sub-stages on the real chip at bench shapes:
-triangulation, per-feature systems, nullspace+gate, compress, EKF update."""
+triangulation, per-feature systems, nullspace+gate, compress, EKF update.
+CAUTION: this tool's timing loop repeats identical dispatches, which the
+axon relay DEDUPES — absolute numbers under-report; use only for relative
+ranking.  For trustworthy numbers use tools/profile_full2.py (in-jit scan
+chaining) or tools/profile_linalg.py.
+"""
 
 from __future__ import annotations
 

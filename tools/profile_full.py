@@ -7,6 +7,11 @@ per-iteration input nonces (relay dedupe defeat).
 
 Usage:  python tools/profile_full.py           (TPU via the axon relay)
         JAX_PLATFORMS=cpu python tools/profile_full.py
+
+CAUTION: this tool's timing loop repeats identical dispatches, which the
+axon relay DEDUPES — absolute numbers under-report; use only for relative
+ranking.  For trustworthy numbers use tools/profile_full2.py (in-jit scan
+chaining) or tools/profile_linalg.py.
 """
 
 from __future__ import annotations
