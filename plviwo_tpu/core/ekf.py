@@ -38,9 +38,11 @@ def propagate_cov(cov, phi15, qd15):
     P_II' = Phi P_II Phi^T + Qd;  P_Ix' = Phi P_Ix;  P_xI' = P_Ix'^T.
     (Reference: StateHelper::EKFPropagation, StateHelper.cpp:20-92.)
     """
+    from ..ops.linalg import dmatmul
+
     pii = cov[:15, :15]
     pix = cov[:15, :]
-    new_pix = phi15 @ pix  # (15, D): includes the P_II part
+    new_pix = dmatmul(phi15, pix)  # (15, D): includes the P_II part
     cov = cov.at[:15, :].set(new_pix)
     cov = cov.at[:, :15].set(new_pix.T)
     new_pii = phi15 @ pii @ phi15.T + qd15
@@ -69,13 +71,16 @@ def ekf_update(cov, H, r, r_diag, mask):
     rm = r * m
     Rm = jnp.where(mask, r_diag, 1.0)
 
-    PHt = cov @ Hm.T  # (D, M)
-    S = Hm @ PHt + jnp.diag(Rm)
+    # heavy D^3-class products run as double-f32 split GEMMs (dmatmul):
+    # TPU-emulated f64 GEMM is ~4.5x slower; split error ~2e-7 relative sits
+    # far below the 3e-6 jitter floor of the f32 PSD factor (NEES-guarded)
+    from ..ops.linalg import dmatmul, solve_psd_refined
+
+    PHt = dmatmul(cov, Hm.T)  # (D, M)
+    S = dmatmul(Hm, PHt) + jnp.diag(Rm)
     S = 0.5 * (S + S.T)
     # K = P H^T S^-1  ->  K^T = S^-1 H P  (mixed-precision PSD solve: f32
     # equilibrated factor + f64 refinement — TPU f64 cholesky is ~60x slower)
-    from ..ops.linalg import solve_psd_refined
-
     Kt = solve_psd_refined(S, PHt.T)  # (M, D)
     K = Kt.T
     dx = K @ rm
@@ -83,7 +88,7 @@ def ekf_update(cov, H, r, r_diag, mask):
     # covariance downdate P' = P - K S K^T (the reference's EKFUpdate form,
     # StateHelper.cpp:94-173) — with S = chol-solved this equals P - PHt K^T
     # exactly; symmetrization + the masked-row structure keep it SPD at f64
-    new_cov = cov - PHt @ Kt
+    new_cov = cov - dmatmul(PHt, Kt)
     return dx, 0.5 * (new_cov + new_cov.T)
 
 
@@ -105,13 +110,13 @@ def chi2(cov, H, r, r_diag, mask):
 
     (Reference: UpdaterStatistics::Chi2Check, UpdaterStatistics.cpp:39-155.)
     """
-    from ..ops.linalg import solve_psd_refined
+    from ..ops.linalg import dmatmul, solve_psd_refined
 
     m = mask.astype(cov.dtype)
     Hm = H * m[:, None]
     rm = r * m
     Rm = jnp.where(mask, r_diag, 1.0)
-    S = Hm @ cov @ Hm.T + jnp.diag(Rm)
+    S = dmatmul(dmatmul(Hm, cov), Hm.T) + jnp.diag(Rm)
     S = 0.5 * (S + S.T)
     return rm @ solve_psd_refined(S, rm)
 
@@ -312,14 +317,14 @@ def measurement_compress(H, r, mask):
     Rows with mask False are zeroed first.  Returns (H' (D, D), r' (D,),
     valid (D,) bool).
     """
-    from ..ops.linalg import chol_equilibrated, tri_lower_solve_refined
+    from ..ops.linalg import chol_equilibrated, dmatmul, tri_lower_solve_refined
 
     Hm = H * mask[:, None].astype(H.dtype)
     rm = r * mask.astype(r.dtype)
     M, D = Hm.shape
     if M <= D:
         return Hm, rm, mask
-    G = Hm.T @ Hm
+    G = dmatmul(Hm.T, Hm)
     c = Hm.T @ rm
     # equilibrated mixed-precision factor (f64 cholesky is emulated on TPU);
     # the small diagonal jitter regularizes null directions — those rows get
