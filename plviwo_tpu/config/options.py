@@ -53,6 +53,10 @@ class CameraOptions:
     use_lines: bool = False
     max_lines: int = 40
     sigma_pix_line: float = 1.5
+    # point-line-coupled rows (reference ships use_PLC=false,
+    # UpdaterCamera.cpp PLC flag; LineHelper.cpp:879-890)
+    use_plc: bool = False
+    max_plc: int = 4  # attached-point rows per line observation
     # calibration flags
     do_calib_dt: bool = False
     do_calib_ext: bool = False

@@ -200,9 +200,12 @@ class VioSystem:
             except RuntimeError:
                 pass  # IMU coverage gap (e.g. right after init): skip
 
-    def feed_camera(self, t, ids, uvs, line_ids=None, line_segs=None):
+    def feed_camera(self, t, ids, uvs, line_ids=None, line_segs=None,
+                    line_pids=None):
         """One camera frame of tracked features: persistent ids + raw uv, and
-        optionally tracked line segments (ids + raw pixel endpoints (L,4))."""
+        optionally tracked line segments (ids + raw pixel endpoints (L,4)).
+        line_pids: optional per-line lists of attached KLT point ids (for the
+        point-line-coupled rows, CameraOptions.use_plc)."""
         uvs = np.atleast_2d(np.asarray(uvs, dtype=np.float64))
         if len(ids) > 0:
             # pad to a fixed batch so the jitted undistort compiles once
@@ -227,14 +230,18 @@ class VioSystem:
             k = self.state.cam_k[0]
             ep_n = np.asarray(cam_ops.undistort_radtan(jnp.asarray(ep), k))[: 2 * n]
             segs_n = ep_n.reshape(n, 4)
-            for lid, seg, seg_n in zip(line_ids, segs, segs_n):
-                self.ldb.update(int(lid), float(t), seg, seg_n)
+            pids_per_line = (line_pids if line_pids is not None
+                             else [()] * len(line_ids))
+            for lid, seg, seg_n, pids in zip(line_ids, segs, segs_n,
+                                             pids_per_line):
+                self.ldb.update(int(lid), float(t), seg, seg_n,
+                                point_ids=pids)
         self.pending_frames.append(float(t))
         if self.initialized:
             self._process_pending()
 
     def feed_stereo(self, t, ids0, uvs0, ids1, uvs1,
-                    line_ids=None, line_segs=None):
+                    line_ids=None, line_segs=None, line_pids=None):
         """One stereo pair of tracked features with SHARED ids across the two
         cameras (reference: TrackKLT::feed_stereo, TrackKLT.cpp:202-393 —
         left/right temporal tracking with L/R association by shared IDs;
@@ -256,7 +263,7 @@ class VioSystem:
                 cam_ops.undistort_radtan(jnp.asarray(uv_pad), k1))[:n]
             for fid, uv, uvn in zip(ids1, uvs1, uvns1):
                 self.fdb.update(int(fid), float(t), uv, uvn, cam=1)
-        self.feed_camera(t, ids0, uvs0, line_ids, line_segs)
+        self.feed_camera(t, ids0, uvs0, line_ids, line_segs, line_pids)
 
     def feed_gps(self, t, lat, lon, alt):
         """One geodetic GNSS fix (reference: feed_measurement_gps,
@@ -785,20 +792,37 @@ class VioSystem:
 
         L = op.max_lines
         O = lo.n_clones
+        P = op.max_plc if op.use_plc else 0
         seg_uv = np.zeros((L, O, 4))
         seg_uvn = np.zeros((L, O, 4))
         obs_slot = np.zeros((L, O), dtype=np.int32)
         obs_valid = np.zeros((L, O), dtype=bool)
+        plc_uv = np.zeros((L, O, P, 2))
+        plc_valid = np.zeros((L, O, P), dtype=bool)
         used = []
         for i, (_, lid) in enumerate(cands):
             tr = self.ldb.tracks[lid]
             j = 0
-            for ti, seg, seg_n in zip(tr.times, tr.segs, tr.segs_n):
+            for k, (ti, seg, seg_n) in enumerate(
+                    zip(tr.times, tr.segs, tr.segs_n)):
                 if ti in tmap and j < O:
                     seg_uv[i, j] = seg
                     seg_uvn[i, j] = seg_n
                     obs_slot[i, j] = tmap[ti]
                     obs_valid[i, j] = True
+                    if P and k < len(tr.point_ids):
+                        # PLC rows: the attached points' measured pixels at
+                        # this observation time (LineHelper.cpp:879-890)
+                        m = 0
+                        for pid in tr.point_ids[k]:
+                            if m >= P:
+                                break
+                            ptr = self.fdb.tracks.get(int(pid))
+                            if ptr is None or ti not in ptr.times:
+                                continue
+                            plc_uv[i, j, m] = ptr.uvs[ptr.times.index(ti)]
+                            plc_valid[i, j, m] = True
+                            m += 1
                     j += 1
             used.append(lid)
 
@@ -835,8 +859,9 @@ class VioSystem:
         v_G = jnp.where(use_dir[:, None], vd, v2)
         ok = jnp.where(use_dir, okd, ok2)
 
-        Hx, Hl, r, rowmask = line_up.line_systems_batch(
-            n_G, v_G, jnp.asarray(seg_uv), jnp.asarray(obs_slot),
+        Hx, Hl, r, rowmask = line_up.line_systems_batch_plc(
+            n_G, v_G, jnp.asarray(seg_uv), jnp.asarray(plc_uv),
+            jnp.asarray(plc_valid), jnp.asarray(obs_slot),
             jnp.asarray(obs_valid),
             st.clone_q, st.clone_p, st.clone_q_fej, st.clone_p_fej,
             st.cam_q[0], st.cam_p[0], st.cam_k[0],

@@ -118,8 +118,8 @@ def main(argv=None):
             img = ds.image(t)
             ids, uvs = tracker.feed(img)
             if ltracker is not None:
-                lids, segs = ltracker.feed(img, ids, uvs)
-                sys_.feed_camera(t, ids, uvs, lids, segs)
+                lids, segs, lpids = ltracker.feed(img, ids, uvs)
+                sys_.feed_camera(t, ids, uvs, lids, segs, lpids)
             else:
                 sys_.feed_camera(t, ids, uvs)
             n_frames += 1

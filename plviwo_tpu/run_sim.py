@@ -28,6 +28,9 @@ def main(argv=None):
                     help="stereo feed: shared-ID left/right observations")
     ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
+    ap.add_argument("--plc", action="store_true",
+                    help="point-line-coupled rows (attached-point distances; "
+                         "reference ships use_PLC=false)")
     ap.add_argument("--auto-init", action="store_true",
                     help="use the IMU(+wheel) initializer instead of ground-truth seeding")
     ap.add_argument("--imu-res", action="store_true",
@@ -102,6 +105,7 @@ def main(argv=None):
         opts.cam.use_lines = True
         opts.cam.max_lines = 20
         opts.cam.sigma_pix_line = 2.0
+        opts.cam.use_plc = args.plc
     if args.wheel:
         opts.wheel.enabled = True
         opts.wheel.type = "Wheel3DAng"
@@ -171,8 +175,8 @@ def main(argv=None):
                 ids, uvs = tracker.feed(img)
                 out = (float(t), ids, uvs)
             if ltracker is not None:
-                lids, segs = ltracker.feed(img, ids, uvs)
-                out = out + (lids, segs)
+                lids, segs, lpids = ltracker.feed(img, ids, uvs)
+                out = out + (lids, segs, lpids)
             if sys_.viz is not None:
                 prev = np.asarray([prev_uvs.get(i, uvs[k])
                                    for k, i in enumerate(ids)]) \

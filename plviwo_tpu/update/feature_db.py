@@ -42,7 +42,7 @@ class LineTrack:
     times: list
     segs: list       # raw pixel endpoints (4,) per obs
     segs_n: list     # undistorted normalized endpoints (4,)
-    point_ids: list  # attached KLT point ids (latest assignment)
+    point_ids: list  # attached KLT point ids, one list per obs
     D: int = 0       # vanishing-point class: 0 none, 1 x, 2 y, 3 z
     to_delete: bool = False
 
@@ -61,7 +61,7 @@ class LineDatabase:
         tr.times.append(t)
         tr.segs.append(np.asarray(seg, dtype=np.float64))
         tr.segs_n.append(np.asarray(seg_n, dtype=np.float64))
-        tr.point_ids = list(point_ids)
+        tr.point_ids.append(list(point_ids))
         if D:
             tr.D = D
 
@@ -76,6 +76,8 @@ class LineDatabase:
                 tr.times = [tr.times[i] for i in keep]
                 tr.segs = [tr.segs[i] for i in keep]
                 tr.segs_n = [tr.segs_n[i] for i in keep]
+                tr.point_ids = [tr.point_ids[i] for i in keep
+                                if i < len(tr.point_ids)]
         for lid in dead:
             del self.tracks[lid]
 

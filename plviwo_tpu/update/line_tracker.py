@@ -35,7 +35,8 @@ class LineTracker:
     def feed(self, img, pt_ids, pt_uvs):
         """Process one frame with the current KLT points.
 
-        Returns (line_ids (K,), segs (K, 4)).
+        Returns (line_ids (K,), segs (K, 4), pids (list of K id-arrays) —
+        the attached KLT point ids per line, for the PLC rows).
         """
         segs_raw, lengths, valid = line_detect.detect_segments(
             jnp.asarray(img, dtype=jnp.float32), grid=self.grid,
@@ -45,7 +46,7 @@ class LineTracker:
                                           min_length=self.min_length)
         if len(segs) == 0:
             self.prev = []
-            return np.zeros(0, dtype=np.int64), np.zeros((0, 4))
+            return np.zeros(0, dtype=np.int64), np.zeros((0, 4)), []
         segs = segs[: self.max_lines]
 
         # --- attach points ---
@@ -99,4 +100,5 @@ class LineTracker:
         self.prev = out
         ids = np.asarray([o["lid"] for o in out], dtype=np.int64)
         segs_out = np.asarray([o["seg"] for o in out])
-        return ids, segs_out
+        pids_out = [np.asarray(sorted(o["pids"]), dtype=np.int64) for o in out]
+        return ids, segs_out, pids_out

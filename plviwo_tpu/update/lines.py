@@ -178,13 +178,34 @@ def _line_residual(n_G, v_G, q_clone, p_clone, cam_q, cam_p, cam_k, seg_uv):
     return jnp.stack([dist1, dist2])
 
 
+def _line_residual_plc(n_G, v_G, q_clone, p_clone, cam_q, cam_p, cam_k,
+                       seg_uv, plc_uv):
+    """Residual (2+P,) for one observation: endpoint distances plus the
+    point-line-coupled rows — distance of each attached point's *measured*
+    pixel from the projected line (reference: the use_PLC block of
+    get_line_feature_jacobian_full, LineHelper.cpp:879-890; shipped with
+    use_PLC=false, here gated by CameraOptions.use_plc)."""
+    R_GtoC, c = _cam_pose(q_clone, p_clone, cam_q, cam_p)
+    n_C, _ = plucker.transform(n_G, v_G, R_GtoC, c)
+    l = plucker.project(n_C, cam_k)
+    d_end = jnp.stack([
+        plucker.point_line_distance(seg_uv[0:2], l),
+        plucker.point_line_distance(seg_uv[2:4], l),
+    ])
+    d_plc = jax.vmap(lambda uv: plucker.point_line_distance(uv, l))(plc_uv)
+    return jnp.concatenate([d_end, d_plc])
+
+
 def _line_system_single(
-    n_G, v_G, seg_uv, obs_slot, obs_valid,
+    n_G, v_G, seg_uv, plc_uv, plc_valid, obs_slot, obs_valid,
     clone_q, clone_p, clone_q_fej, clone_p_fej,
     cam_q, cam_p, cam_k, n_clones, clone_off, D,
 ):
-    """Linear system for one line: Hx (2O, D), Hl (2O, 4), r (2O,), mask."""
+    """Linear system for one line with R = 2+P rows per observation (P = 0
+    without PLC): Hx (RO, D), Hl (RO, 4), r (RO,), mask (RO,)."""
     O = seg_uv.shape[0]
+    P = plc_uv.shape[1]
+    R = 2 + P
     q_cl = clone_q[obs_slot]
     p_cl = clone_p[obs_slot]
     q_fe = clone_q_fej[obs_slot]
@@ -192,38 +213,41 @@ def _line_system_single(
 
     # residual at current estimates (z = 0: measured distance should be 0)
     res = -jax.vmap(
-        lambda q, p, s: _line_residual(n_G, v_G, q, p, cam_q, cam_p, cam_k, s)
-    )(q_cl, p_cl, seg_uv)  # r = 0 - h(x)
+        lambda q, p, s, pu: _line_residual_plc(
+            n_G, v_G, q, p, cam_q, cam_p, cam_k, s, pu)
+    )(q_cl, p_cl, seg_uv, plc_uv)  # r = 0 - h(x); (O, R)
 
     # Jacobians at FEJ via jacfwd on (pose-tangent(6), line-tangent(4))
-    def h(dx6, d4, q, p, s):
+    def h(dx6, d4, q, p, s, pu):
         dq = lie.quat_norm(
             jnp.concatenate([0.5 * dx6[0:3], jnp.ones(1, dtype=n_G.dtype)])
         )
         qq = lie.quat_multiply(dq, q)
         pp = p + dx6[3:6]
         n2, v2 = plucker.apply_orthonormal_delta(n_G, v_G, d4)
-        return _line_residual(n2, v2, qq, pp, cam_q, cam_p, cam_k, s)
+        return _line_residual_plc(n2, v2, qq, pp, cam_q, cam_p, cam_k, s, pu)
 
     z6 = jnp.zeros(6, dtype=n_G.dtype)
     z4 = jnp.zeros(4, dtype=n_G.dtype)
     Jp = jax.vmap(
-        lambda q, p, s: jax.jacfwd(h, argnums=0)(z6, z4, q, p, s)
-    )(q_fe, p_fe, seg_uv)  # (O,2,6)
+        lambda q, p, s, pu: jax.jacfwd(h, argnums=0)(z6, z4, q, p, s, pu)
+    )(q_fe, p_fe, seg_uv, plc_uv)  # (O,R,6)
     Jl = jax.vmap(
-        lambda q, p, s: jax.jacfwd(h, argnums=1)(z6, z4, q, p, s)
-    )(q_fe, p_fe, seg_uv)  # (O,2,4)
+        lambda q, p, s, pu: jax.jacfwd(h, argnums=1)(z6, z4, q, p, s, pu)
+    )(q_fe, p_fe, seg_uv, plc_uv)  # (O,R,4)
     # res = z - h => dres/dx = -dh/dx... but as in the point path the system
     # is r = H dx + n with H = +dh/dx
     H_pose = Jp
-    Hl = Jl.reshape(2 * O, 4)
+    Hl = Jl.reshape(R * O, 4)
 
     onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=n_G.dtype)  # (O,C)
-    Hc = (onehot[:, None, :, None] * H_pose[:, :, None, :]).reshape(O, 2, -1)
-    Hx = jnp.zeros((O, 2, D), dtype=n_G.dtype)
+    Hc = (onehot[:, None, :, None] * H_pose[:, :, None, :]).reshape(O, R, -1)
+    Hx = jnp.zeros((O, R, D), dtype=n_G.dtype)
     Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
-    Hx = Hx.reshape(2 * O, D)
-    rowmask = jnp.repeat(obs_valid, 2)
+    Hx = Hx.reshape(R * O, D)
+    endmask = jnp.repeat(obs_valid, 2).reshape(O, 2)
+    rowmask = jnp.concatenate(
+        [endmask, plc_valid & obs_valid[:, None]], axis=1).reshape(-1)
     return Hx, Hl, res.reshape(-1), rowmask
 
 
@@ -233,12 +257,35 @@ def line_systems_batch(
     clone_q, clone_p, clone_q_fej, clone_p_fej,
     cam_q, cam_p, cam_k, n_clones: int, clone_off: int, D: int,
 ):
+    L, O = seg_uv.shape[0], seg_uv.shape[1]
+    plc_uv = jnp.zeros((L, O, 0, 2), dtype=seg_uv.dtype)
+    plc_valid = jnp.zeros((L, O, 0), dtype=bool)
+    return line_systems_batch_plc(
+        n_G, v_G, seg_uv, plc_uv, plc_valid, obs_slot, obs_valid,
+        clone_q, clone_p, clone_q_fej, clone_p_fej,
+        cam_q, cam_p, cam_k, n_clones, clone_off, D,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_clones", "clone_off", "D"))
+def line_systems_batch_plc(
+    n_G, v_G, seg_uv, plc_uv, plc_valid, obs_slot, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q, cam_p, cam_k, n_clones: int, clone_off: int, D: int,
+):
+    """Batched line systems with point-line-coupled rows.
+
+    plc_uv: (L, O, P, 2) raw pixels of up to P attached points per
+    observation; plc_valid: (L, O, P) bool.  P = 0 reduces exactly to the
+    endpoint-only system.
+    """
     return jax.vmap(
-        lambda n, v, s, sl, va: _line_system_single(
-            n, v, s, sl, va, clone_q, clone_p, clone_q_fej, clone_p_fej,
+        lambda n, v, s, pu, pv, sl, va: _line_system_single(
+            n, v, s, pu, pv, sl, va,
+            clone_q, clone_p, clone_q_fej, clone_p_fej,
             cam_q, cam_p, cam_k, n_clones, clone_off, D,
         )
-    )(n_G, v_G, seg_uv, obs_slot, obs_valid)
+    )(n_G, v_G, seg_uv, plc_uv, plc_valid, obs_slot, obs_valid)
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,7 @@ def test_line_tracker_on_rendered_sequence():
     for t in sim.cam_times()[:6]:
         img = sim.render_frame(t, with_lines=True)
         pids, puvs = kt.feed(img)
-        lids, segs = lt.feed(img, pids, puvs)
+        lids, segs, _ = lt.feed(img, pids, puvs)
         assert len(lids) >= 2, f"too few lines tracked at t={t}"
         if prev_ids is not None:
             persist += len(np.intersect1d(lids, prev_ids))
