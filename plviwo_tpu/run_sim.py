@@ -44,6 +44,9 @@ def main(argv=None):
                          "below the camera rate)")
     ap.add_argument("--intr-order", type=int, default=None,
                     help="polynomial interpolation order (1=linear, 3=cubic)")
+    ap.add_argument("--tags", action="store_true",
+                    help="ground fiducial tags + ArucoTracker corner feed "
+                         "(implies --images; nadir camera)")
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
@@ -62,6 +65,8 @@ def main(argv=None):
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
     args = ap.parse_args(argv)
+    if args.tags:
+        args.images = True
 
     if args.platform:
         import jax
@@ -80,6 +85,12 @@ def main(argv=None):
 
     cfg = SimConfig(duration=args.duration, seed=args.seed,
                     sigma_pix=args.sigma_pix, n_pts=int(args.n_pts))
+    if args.tags:
+        # ground fiducials + nadir camera (the TrackAruco scenario: tags on
+        # the ground viewed from above, in-plane rotation from vehicle yaw)
+        cfg.n_tags = 6
+        cfg.cam_ext_q = (1.0, 0.0, 0.0, 0.0)
+        cfg.cam_ext_p = (0.0, 0.0, 0.0)
     sim = Simulator(cfg)
 
     opts = EstimatorOptions()
@@ -153,6 +164,11 @@ def main(argv=None):
         tracker_cls = StereoKltTracker if args.stereo else KltTracker
         tracker = tracker_cls(n_pts=80, cam_k=np.asarray(cfg.intrinsics),
                               grid_x=12, grid_y=10)
+        atracker = None
+        if args.tags:
+            from .update.aruco_tracker import ArucoTracker
+
+            atracker = ArucoTracker(max_tag_id=16)
         opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
         opts.cam.chi2_mult = 8.0
         ltracker = None
@@ -173,6 +189,15 @@ def main(argv=None):
                 out = (float(t), ids, uvs, ids1, uvs1)
             else:
                 ids, uvs = tracker.feed(img)
+                if atracker is not None:
+                    aids, auvs = atracker.feed(img)
+                    if len(aids):
+                        # tag corner tracks ride the same feature DB with the
+                        # reserved high-id block (TrackAruco.cpp:142 analogue)
+                        base = (np.atleast_2d(uvs) if len(ids)
+                                else np.zeros((0, 2)))
+                        ids = np.concatenate([ids, aids])
+                        uvs = np.concatenate([base, auvs])
                 out = (float(t), ids, uvs)
             if ltracker is not None:
                 lids, segs, lpids = ltracker.feed(img, ids, uvs)

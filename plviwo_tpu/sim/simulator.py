@@ -63,6 +63,11 @@ class SimConfig:
     # gps
     sigma_gps: float = 0.5
     gps_ext_p: tuple = (0.0, 0.0, 0.3)
+    # fiducial tags painted on the ground plane (TrackAruco test surface);
+    # rendered with full perspective by the ground raycast, so tag corners
+    # are fixed world points.  tag_size = black border side [m].
+    n_tags: int = 0
+    tag_size: float = 0.5
     # roll/pitch excitation [rad] added to the figure-8 (calibration tests:
     # yaw-only motion leaves extrinsic dofs unobservable)
     rp_excite: float = 0.0
@@ -109,6 +114,21 @@ class Simulator:
         self.line_dir_class = np.concatenate(
             [np.full(n_v, 3), np.full(n_x, 1), np.full(c.n_lines - n_v - n_x, 2)]
         )
+
+        # ground plane height (shared by the raycast renderer and the tags)
+        self.ground_z = float(self.landmarks[:, 2].min() - 2.0)
+
+        # fiducial tags on the ground along the path (TrackAruco analogue)
+        if c.n_tags > 0:
+            from ..ops import aruco
+
+            self.tag_codes = aruco.tag_family()[: c.n_tags]
+            self.tag_bitmaps = np.stack(
+                [aruco.tag_bitmap(code) for code in self.tag_codes])
+            idx = np.linspace(0, len(path) - 1, c.n_tags).astype(int)
+            jitter = self.rng.uniform(-1.5, 1.5, size=(c.n_tags, 2))
+            self.tag_center = path[idx, :2] + jitter
+            self.tag_yaw = self.rng.uniform(0, 2 * np.pi, size=c.n_tags)
 
         # bias random walks sampled on the IMU grid
         n_imu = int((self.t_end - self.t_start) * c.imu_hz) + 1
@@ -246,7 +266,7 @@ class Simulator:
                 tex += amp * up2
             self._ground_tex = 0.45 + tex
             self._blob_amp = self.rng.uniform(0.3, 0.5, size=c.n_landmarks)
-        ground_z = float(self.landmarks[:, 2].min() - 2.0)
+        ground_z = self.ground_z
 
         kin = self.spline.imu_true(t)
         R_GtoI = np.asarray(kin["R_GtoI"])
@@ -293,7 +313,46 @@ class Simulator:
             ids, segs = self.line_frame(t)
             for seg in segs:
                 self._draw_line(img, seg, depth=0.35)
+
+        # --- composite ground tags (painted last: fiducials are opaque) ---
+        if c.n_tags > 0:
+            cell_m = c.tag_size / 6.0
+            for k in range(c.n_tags):
+                dx = gx - self.tag_center[k, 0]
+                dy = gy - self.tag_center[k, 1]
+                cy_, sy_ = np.cos(self.tag_yaw[k]), np.sin(self.tag_yaw[k])
+                u = (cy_ * dx + sy_ * dy) / cell_m
+                v = (-sy_ * dx + cy_ * dy) / cell_m
+                inside = hit & (np.abs(u) < 4.0) & (np.abs(v) < 4.0)
+                if not inside.any():
+                    continue
+                bm = self.tag_bitmaps[k]
+                # bitmap row from -v: a ground plane is viewed from ABOVE, so
+                # world-plane v maps to image -y; this flip makes the painted
+                # pattern read canonically (proper rotation, no mirror) for
+                # any det(R)=+1 camera looking down
+                bi = np.clip(((4.0 - v) * (bm.shape[0] / 8.0)).astype(int),
+                             0, bm.shape[0] - 1)
+                bj = np.clip(((u + 4.0) * (bm.shape[1] / 8.0)).astype(int),
+                             0, bm.shape[1] - 1)
+                img = np.where(inside, bm[bi, bj], img)
         return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+    def tag_corners_world(self):
+        """(T, 4, 3) world positions of each tag's canonical TL,TR,BR,BL
+        border corners (tag-local cells (-3,-3),(3,-3),(3,3),(-3,3))."""
+        c = self.cfg
+        cell_m = c.tag_size / 6.0
+        # canonical (detector-space) corner (cu, cv) sits at painted
+        # tag-local (cu, -cv) (see the bitmap-row flip in render_frame)
+        local = np.array([[-3.0, 3.0], [3.0, 3.0], [3.0, -3.0], [-3.0, -3.0]])
+        out = np.zeros((c.n_tags, 4, 3))
+        for k in range(c.n_tags):
+            cy_, sy_ = np.cos(self.tag_yaw[k]), np.sin(self.tag_yaw[k])
+            R = np.array([[cy_, -sy_], [sy_, cy_]])
+            out[k, :, :2] = self.tag_center[k] + (local * cell_m) @ R.T
+            out[k, :, 2] = self.ground_z
+        return out
 
     @staticmethod
     def _draw_line(img, seg, depth=0.3, width=1.2):
