@@ -27,6 +27,14 @@ import numpy as np
 
 
 def _load_csv(path, ncols=None):
+    # native C++ fast path (the reference's data plane is native; ~3x the
+    # Python loop below, strtod-bound)
+    from .. import native
+
+    if native.available():
+        arr = native.load_csv(path, ncols or 0)
+        if arr is not None:
+            return arr
     rows = []
     with open(path) as f:
         for line in f:

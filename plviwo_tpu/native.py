@@ -53,8 +53,37 @@ def _load():
         C.POINTER(C.c_double),
         C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
     ]
+    lib.csv_open.restype = C.c_void_p
+    lib.csv_open.argtypes = [C.c_char_p, C.c_long]
+    lib.csv_rows.argtypes = [C.c_void_p]
+    lib.csv_rows.restype = C.c_long
+    lib.csv_cols.argtypes = [C.c_void_p]
+    lib.csv_cols.restype = C.c_long
+    lib.csv_copy.argtypes = [C.c_void_p, C.POINTER(C.c_double)]
+    lib.csv_free.argtypes = [C.c_void_p]
     _lib = lib
     return lib
+
+
+def load_csv(path: str, ncols: int = 0):
+    """Native CSV parse -> (rows, cols) float64 array, or None if the
+    native library is unavailable (callers fall back to the Python parser).
+    Semantics mirror data/kaist._load_csv: commas are separators and lines
+    with non-numeric tokens are skipped."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.csv_open(path.encode(), int(ncols))
+    if not h:
+        return None
+    try:
+        n, m = lib.csv_rows(h), lib.csv_cols(h)
+        out = np.zeros((n, m), dtype=np.float64)
+        if n:
+            lib.csv_copy(h, _ptr(out, C.c_double))
+        return out
+    finally:
+        lib.csv_free(h)
 
 
 def _ptr(arr, ctype):

@@ -113,3 +113,51 @@ def test_system_runs_with_native():
 
     sys_ = VioSystem(EstimatorOptions())
     assert sys_.fdb_native is not None
+
+
+
+def test_native_csv_matches_python():
+    """Native CSV parser (csv_loader.cpp) must match the Python parser on
+    KAIST-style files including malformed lines."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from plviwo_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "test.csv")
+        with open(path, "w") as f:
+            f.write("# header line with text\n")
+            for i in range(500):
+                vals = rng.normal(size=14)
+                vals[0] = 1.5e18 + i * 1e7
+                f.write(",".join(f"{v!r}" for v in vals) + "\n")
+            f.write("bad,line,with,text\n")
+            f.write("\n")
+            f.write(" ".join("1.0" for _ in range(14)) + "\n")
+
+        # python reference parse (the pre-native implementation)
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.strip().replace(",", " ").split()
+                if not parts:
+                    continue
+                try:
+                    rows.append([float(x) for x in parts])
+                except ValueError:
+                    continue
+        ref = np.asarray(rows)
+        got = native.load_csv(path, 0)
+        np.testing.assert_array_equal(got, ref)
+        # truncated-columns variant
+        got4 = native.load_csv(path, 4)
+        np.testing.assert_array_equal(got4, ref[:, :4])
