@@ -15,6 +15,8 @@ the TPU idiom replacing OpenCV's `undistortPoints` iteration.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -98,11 +100,18 @@ def _distort_jac_normalized(zn, k, distort_fn):
     return J.reshape(zn.shape[:-1] + (2, 2))
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def undistort_radtan(uv, k, iters: int = 8):
-    """Pixel coords (...,2) -> normalized coords (...,2), radtan model."""
+    """Pixel coords (...,2) -> normalized coords (...,2), radtan model.
+
+    Jitted at the entry point: the Newton solve is a lax.scan, and an eager
+    scan compiles a throwaway executable on EVERY call — per-frame host
+    callers (feed_camera) would otherwise leak one LLVM executable per frame
+    (observed as an OOM crash ~900 s into a long CPU replay)."""
     return _undistort_newton(uv, k, distort_radtan, iters)
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def undistort_equi(uv, k, iters: int = 8):
     """Pixel coords (...,2) -> normalized coords (...,2), equidistant model."""
     return _undistort_newton(uv, k, distort_equi, iters)
