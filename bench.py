@@ -53,6 +53,7 @@ def main():
     N_WHEEL = 32
     cam_dtype = (jnp.float32 if os.environ.get("BENCH_CAM_DTYPE", "f32") == "f32"
                  else jnp.float64)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     # geometrically consistent observations (real accepted point/line/wheel
     # rows, shared with the driver's multichip dryrun — VERDICT round-1 weak
@@ -74,6 +75,7 @@ def main():
                 s, a, b, c, d, e, f, g, h, li, lj, lk, ll, wa, wb, wc, wd,
                 gravity, sigmas, 1.0, 1.0, SIGMA_LINE, WHEEL_NOISE,
                 model=0, window_size=1.0, cam_dtype=cam_dtype,
+                use_pallas=use_pallas,
             )
         )(st, imu_t, imu_w, imu_a, t_new, ouv, ouvn, oslot, ovalid,
           luv, luvn, lslot, lvalid, wt, wm1, wm2, wvalid)

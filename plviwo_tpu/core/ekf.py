@@ -326,13 +326,23 @@ def measurement_compress(H, r, mask):
         return Hm, rm, mask
     G = dmatmul(Hm.T, Hm)
     c = Hm.T @ rm
-    # equilibrated mixed-precision factor (f64 cholesky is emulated on TPU);
-    # the small diagonal jitter regularizes null directions — those rows get
-    # rc = 0 (c lies in range(G)), exact no-ops in the EKF update
+    return compress_from_gram(G, c)
+
+
+def compress_from_gram(G, c):
+    """(G = H^T H, c = H^T r) -> compressed rows (H' = L^T, r' = L^-1 c).
+
+    The tail of `measurement_compress`, exposed for producers that build the
+    Gram system directly (the fused Pallas gate kernel).  The equilibrated
+    mixed-precision factor's small diagonal jitter regularizes null
+    directions — those rows get rc = 0 (c lies in range(G)), exact no-ops in
+    the EKF update."""
+    from ..ops.linalg import chol_equilibrated, tri_lower_solve_refined
+
     L, valid = chol_equilibrated(G)
     rc = tri_lower_solve_refined(L, c)
     rc = jnp.where(valid, rc, 0.0)
-    Hc = L.T * valid[None, :].astype(H.dtype)
+    Hc = L.T * valid[None, :].astype(G.dtype)
     return Hc, rc, valid
 
 

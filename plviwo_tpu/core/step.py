@@ -102,9 +102,31 @@ def fused_step(
     return state, metrics
 
 
+def _pallas_gram_rows(Hx, Hf, r, rowmask, cov, sigma, chi2_mult, resid_cap,
+                      interpret: bool):
+    """Route per-feature systems through the fused Pallas gate kernel
+    (ops/msckf_kernel.py): whiten -> nullspace -> chi2 gate -> Gram, with
+    the covariance VMEM-resident, then factor the Gram into compressed
+    unit-noise rows.  Returns (Hc (D,D) f64, rc, cmask, feat_ok, n_rows)."""
+    from ..ops.msckf_kernel import gram_gate_fused
+
+    M = Hx.shape[1]
+    f32 = jnp.float32
+    gate_vec = (jnp.asarray(_CHI2_NP[: M + 1]).astype(f32)
+                * jnp.asarray(chi2_mult, f32))
+    w = jnp.full(r.shape, 1.0, dtype=f32) / jnp.asarray(sigma, f32)
+    G, c, feat_ok, _chi = gram_gate_fused(
+        Hx, Hf, r, rowmask, w, cov.astype(f32), gate_vec,
+        resid_cap, interpret=interpret)
+    Hc, rc, cmask = ekf.compress_from_gram(G.astype(F64), c.astype(F64))
+    n_rows = jnp.sum(rowmask & feat_ok[:, None])
+    return Hc, rc, cmask, feat_ok, n_rows
+
+
 def _camera_msckf_rows(
     state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
     sigma_pix, chi2_mult, model: int, cam_dtype,
+    use_pallas: bool = False, pallas_interpret: bool = False,
 ):
     """The point-MSCKF slice of the fused step (triangulate -> systems ->
     nullspace+gate -> compress); returns a unit-noise-whitened compressed
@@ -130,6 +152,19 @@ def _camera_msckf_rows(
     )
     rowmask = rowmask & ok[:, None]
     sigma2 = sigma_pix**2
+    if use_pallas:
+        sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+        # the kernel sees whitened rows: the XLA path's raw-residual cap of
+        # 20 px becomes 20/sigma in whitened units
+        Hc, rc, cmask, feat_ok, n_rows = _pallas_gram_rows(
+            Hx, Hf, r, rowmask, state.cov, sigma, chi2_mult, 20.0 / sigma,
+            pallas_interpret)
+        metrics = {
+            "accepted": jnp.sum(feat_ok),
+            "rows": n_rows,
+            "avg_reproj": jnp.mean(jnp.where(ok, avg_err, 0.0)),
+        }
+        return Hc, rc, cmask, metrics
     chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
     Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
         Hx, Hf, r, rowmask, state.cov.astype(cd), jnp.asarray(sigma2, dtype=cd),
@@ -164,6 +199,7 @@ def _camera_msckf_update(
 def _line_msckf_rows(
     state: FilterState, line_uv, line_uvn, line_slot, line_valid,
     sigma_line, chi2_mult, cam_dtype=jnp.float64,
+    use_pallas: bool = False, pallas_interpret: bool = False,
 ):
     """Line slice of the fused step: two-plane Plücker triangulation ->
     2-rows-per-obs distance systems -> 4-dof nullspace + gate -> compress ->
@@ -195,6 +231,12 @@ def _line_msckf_rows(
     absr = jnp.abs(r) * rowmask
     r_mean = jnp.sum(absr, axis=1) / jnp.maximum(jnp.sum(rowmask, axis=1), 1)
     rowmask = rowmask & (r_mean < 2.5 * sigma_line)[:, None]
+    if use_pallas:
+        sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+        Hc, rc, cmask, line_ok, _n = _pallas_gram_rows(
+            Hx, Hl, r, rowmask, state.cov, sigma, chi2_mult, 20.0 / sigma,
+            pallas_interpret)
+        return Hc, rc, cmask, jnp.sum(line_ok)
     chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
     Hn, rn, rowvalid, line_ok = cam_helper.msckf_project_and_gate(
         Hx, Hl, r, rowmask, state.cov.astype(cd), jnp.asarray(sigma2, dtype=cd),
@@ -266,7 +308,8 @@ def _wheel_update_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("model", "window_size", "cam_dtype", "wheel_type"),
+    static_argnames=("model", "window_size", "cam_dtype", "wheel_type",
+                     "use_pallas", "pallas_interpret"),
 )
 def fused_step_full(
     state: FilterState,
@@ -277,6 +320,7 @@ def fused_step_full(
     gravity, sigmas, sigma_pix, chi2_mult, sigma_line, wheel_noise,
     model: int = 0, window_size: float = 1.0, cam_dtype=jnp.float64,
     wheel_type: int = wheel_up.W3D_ANG,
+    use_pallas: bool = False, pallas_interpret: bool = False,
 ):
     """One full PL-VIWO frame in ONE jit dispatch: propagate + clone + point
     MSCKF + line update + wheel preintegration update.
@@ -306,10 +350,12 @@ def fused_step_full(
     # second order in the per-frame correction and regression-tested).
     Hc1, rc1, m1, metrics = _camera_msckf_rows(
         state, obs_uv, obs_uvn, obs_slot, obs_valid, sigma_pix, chi2_mult,
-        model, cam_dtype)
+        model, cam_dtype, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret)
     Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
         state, line_uv, line_uvn, line_slot, line_valid, sigma_line, chi2_mult,
-        cam_dtype=cam_dtype)
+        cam_dtype=cam_dtype, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret)
     Hw, rw, mw, wheel_accepted = _wheel_rows(
         state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
         wheel_noise, chi2_mult, wheel_type)

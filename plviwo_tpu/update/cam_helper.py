@@ -544,7 +544,14 @@ def _nullspace(Hf, Hx, r):
     for j in range(k):
         x = jnp.where(idx >= j, A[:, j], 0.0)
         nx = jnp.linalg.norm(x)
-        alpha = -jnp.sign(x[j] + 1e-300) * nx
+        # sign must never be 0: with a zero pivot entry (a masked row in
+        # pivot position, e.g. PLC rows of the first observation) sign(0)=0
+        # would give alpha=0, and the "reflector" v=x negates the column
+        # instead of compacting it into e_j — leaking feature-Jacobian
+        # content into the complement rows (regression-tested in
+        # tests/test_msckf_kernel.py::test_nullspace_zero_pivot)
+        sgn = jnp.where(x[j] >= 0.0, 1.0, -1.0).astype(A.dtype)
+        alpha = -sgn * nx
         v = x - alpha * (idx == j).astype(A.dtype)
         nv = jnp.linalg.norm(v)
         v = v / jnp.where(nv < 1e-12, 1.0, nv)
