@@ -18,7 +18,13 @@ grid, accumulating the gated Gram system directly:
 
 Outputs (G, c, ok, chi2): the EKF update consumes chol(G) exactly like
 `measurement_compress`'s Gram path.  Bit-comparable (f32 order differences)
-to the XLA composition — tested in interpret mode on CPU.
+to the XLA composition — equivalence-tested interpret vs compiled.
+
+Mosaic lowering constraints shape the implementation: no rank-1 arrays
+anywhere (row vectors live as (M, 1) columns / (1, M) rows), no
+dynamic_slice (one-hot reductions instead), no explicit transposes
+(dot_general contraction dims instead), and per-feature scalar outputs are
+written as one-hot accumulations into full (F, 1) blocks.
 
 Works for points (k=3) and lines (k=4); M, D, k are static from shapes.
 """
@@ -35,6 +41,22 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
+def _dot_t(a, b):
+    """a (M, P) contracted with b (M, Q) over dim 0 -> (P, Q): a^T b."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=F32)
+
+
+def _dot_rt(a, b):
+    """a (P, M) contracted with b (Q, M) over dim 1 -> (P, Q): a b^T."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=F32)
+
+
 def _kernel(Hx_ref, Hf_ref, r_ref, mask_ref, w_ref, cov_ref, gate_ref,
             cap_ref, G_ref, c_ref, ok_ref, chi_ref, *, k: int):
     i = pl.program_id(0)
@@ -43,82 +65,98 @@ def _kernel(Hx_ref, Hf_ref, r_ref, mask_ref, w_ref, cov_ref, gate_ref,
     def _():
         G_ref[:] = jnp.zeros_like(G_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
+        ok_ref[:] = jnp.zeros_like(ok_ref)
+        chi_ref[:] = jnp.zeros_like(chi_ref)
 
     Hx = Hx_ref[0]          # (M, D)
     Hf = Hf_ref[0]          # (M, k)
-    r = r_ref[0]            # (1, M) row layout
-    mask = mask_ref[0]      # (1, M) f32 0/1
-    w = w_ref[0]            # (1, M) row whitening weights
+    r = r_ref[0]            # (M, 1) column layout
+    mask = mask_ref[0]      # (M, 1) f32 0/1
+    w = w_ref[0]            # (M, 1) row whitening weights
     M = Hx.shape[0]
-    D = Hx.shape[1]
 
-    mw = (mask * w)[0]      # (M,)
-    Hx_m = Hx * mw[:, None]
-    Hf_m = Hf * mw[:, None]
-    r_m = (r * mask * w)[0]  # (M,)
+    mw = mask * w           # (M, 1)
+    Hx_m = Hx * mw
+    Hf_m = Hf * mw
+    r_m = r * mw            # (M, 1)
     raw_max = jnp.max(jnp.abs(r_m))
 
     # --- k Householder reflectors against Hf (cam_helper._nullspace) ---
-    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)   # (M, 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, k)
     A_hf = Hf_m
     A_hx = Hx_m
     a_r = r_m
     for j in range(k):
-        x = jnp.where(idx >= j, A_hf[:, j], 0.0)
+        # column j of A_hf via one-hot reduction (no offset-changing slices)
+        xcol = jnp.sum(A_hf * (colk == j).astype(F32), axis=1, keepdims=True)
+        x = jnp.where(idx >= j, xcol, 0.0)                 # (M, 1)
         nx = jnp.sqrt(jnp.sum(x * x))
-        sgn = jnp.where(x[j] >= 0.0, 1.0, -1.0)
+        xj = jnp.sum(x * (idx == j).astype(F32))
+        sgn = jnp.where(xj >= 0.0, 1.0, -1.0)
         alpha = -sgn * nx
-        v = x - alpha * (idx == j).astype(x.dtype)
+        v = x - alpha * (idx == j).astype(F32)             # (M, 1)
         nv = jnp.sqrt(jnp.sum(v * v))
         v = v / jnp.where(nv < 1e-12, 1.0, nv)
         scale = jnp.where(nv < 1e-12, 0.0, 2.0)
-        A_hf = A_hf - scale * v[:, None] * (v @ A_hf)[None, :]
-        A_hx = A_hx - scale * v[:, None] * jnp.dot(
-            v, A_hx, preferred_element_type=F32)[None, :]
+        A_hf = A_hf - scale * v * _dot_t(v, A_hf)          # (M,1)*(1,k)
+        A_hx = A_hx - scale * v * _dot_t(v, A_hx)          # (M,1)*(1,D)
         a_r = a_r - scale * v * jnp.sum(v * a_r)
 
-    valid = (idx >= k).astype(F32)   # complement rows (no roll: order-free)
-    Hv = A_hx * valid[:, None]       # (M, D)
-    rv = a_r * valid                 # (M,)
+    validc = (idx >= k).astype(F32)  # (M, 1) complement rows (order-free)
+    Hv = A_hx * validc               # (M, D)
+    rv = a_r * validc                # (M, 1)
 
     # --- innovation S = Hv cov Hv^T + I  (cov stays resident in VMEM) ---
-    PHt = jnp.dot(cov_ref[:], Hv.T, preferred_element_type=F32)   # (D, M)
-    S = jnp.dot(Hv, PHt, preferred_element_type=F32)              # (M, M)
-    S = 0.5 * (S + S.T) + jnp.eye(M, dtype=F32)
+    B = jnp.dot(Hv, cov_ref[:], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=F32)                   # (M, D)
+    S = _dot_rt(B, Hv)                                        # (M, M)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)).astype(F32)
+    S = 0.5 * (S + _dot_rt(eye, S)) + eye   # S^T via eye@S^T = (S@eye)^T trick
 
-    # --- in-kernel Cholesky S = U^T U (right-looking on rows; S symmetric
-    #     so column j == row j) + forward solve accumulating chi2 ---
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)[0]
+    # --- in-kernel Cholesky S = U^T U + forward solve accumulating chi2.
+    # St stays symmetric under the rank-1 downdate, so row j and column j
+    # are both recovered by one-hot reductions (no transposes, no slices).
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)   # (1, M)
 
-    # forward solve U^T y = rv:  y[j] = (rv_j - sum_{t<j} U[t,j] y[t]) / U[j,j]
-    # fold into the factor loop: after emitting U row j, subtract y_j * U[j,:]
-    # from the pending right-hand side (columns > j).
     def body(j, carry):
         St, chi, rhs = carry
-        piv = jnp.maximum(St[j, j], 1e-12)
+        ejc = (idx == j).astype(F32)     # (M, 1)
+        ejr = (rowm == j).astype(F32)    # (1, M)
+        Srow = jnp.sum(St * ejc, axis=0, keepdims=True)     # (1, M) row j
+        Scol = jnp.sum(St * ejr, axis=1, keepdims=True)     # (M, 1) col j
+        piv = jnp.maximum(jnp.sum(Srow * ejr), 1e-12)
         d = jnp.sqrt(piv)
-        u = jnp.where(col >= j, St[j, :] / d, 0.0)
-        St = St - u[:, None] * u[None, :]
-        yj = rhs[j] / d
-        rhs = rhs - yj * jnp.where(col > j, u, 0.0)
+        u_row = jnp.where(rowm >= j, Srow / d, 0.0)         # (1, M)
+        u_col = jnp.where(idx >= j, Scol / d, 0.0)          # (M, 1)
+        St = St - u_col * u_row
+        yj = jnp.sum(rhs * ejc) / d
+        rhs = rhs - yj * jnp.where(idx > j, u_col, 0.0)
         return St, chi + yj * yj, rhs
 
     _, chi2, _ = jax.lax.fori_loop(
         0, M, body, (S, jnp.asarray(0.0, F32), rv))
 
-    # --- gate ---
-    n_rows = jnp.sum(mask[0]).astype(jnp.int32)
+    # --- gate (dof-indexed lookup as a one-hot reduction) ---
+    n_rows = jnp.sum(mask).astype(jnp.int32)
     dof = jnp.maximum(n_rows - k, 1)
-    gate = gate_ref[jnp.minimum(dof, gate_ref.shape[0] - 1), 0]
+    dof_idx = jnp.minimum(dof, gate_ref.shape[0] - 1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (gate_ref.shape[0], 1), 0)
+    gate = jnp.sum(jnp.where(gidx == dof_idx, gate_ref[:], 0.0))
     ok = (chi2 < gate) & (n_rows >= k + 2) & (raw_max < cap_ref[0, 0])
     okf = ok.astype(F32)
 
     # --- gated Gram accumulation (MXU) ---
-    G_ref[:] += okf * jnp.dot(Hv.T, Hv, preferred_element_type=F32)
-    c_ref[:] += okf * jnp.dot(Hv.T, rv[:, None],
-                              preferred_element_type=F32)
-    ok_ref[0, 0] = ok
-    chi_ref[0, 0] = chi2
+    G_ref[:] += okf * _dot_t(Hv, Hv)
+    c_ref[:] += okf * _dot_t(Hv, rv)
+    # per-feature outputs live as full (F, 1) blocks (TPU lowering requires
+    # block dims divisible by the tile or equal to the array dims; a (1, 1)
+    # grid-mapped block is neither) — write lane i via a one-hot accumulate
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, ok_ref.shape, 0) == i
+              ).astype(F32)
+    ok_ref[:] += okf * onehot
+    chi_ref[:] += chi2 * onehot
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -145,9 +183,9 @@ def gram_gate_fused(Hx, Hf, r, rowmask, w_row, cov, gate_vec, resid_cap,
     dt = F32
     Hx = Hx.astype(dt)
     Hf = Hf.astype(dt)
-    r2 = r.astype(dt).reshape(F, 1, M)
-    mask2 = rowmask.astype(dt).reshape(F, 1, M)
-    w2 = w_row.astype(dt).reshape(F, 1, M)
+    r2 = r.astype(dt).reshape(F, M, 1)
+    mask2 = rowmask.astype(dt).reshape(F, M, 1)
+    w2 = w_row.astype(dt).reshape(F, M, 1)
     gate2 = jnp.pad(gate_vec.astype(dt), (0, 1))[:, None]  # (M+2, 1)
     cap2 = jnp.asarray(resid_cap, dt).reshape(1, 1)
 
@@ -160,11 +198,11 @@ def gram_gate_fused(Hx, Hf, r, rowmask, w_row, cov, gate_vec, resid_cap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # cov: resident
@@ -178,18 +216,18 @@ def gram_gate_fused(Hx, Hf, r, rowmask, w_row, cov, gate_vec, resid_cap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((F, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((F, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, D), dt),
             jax.ShapeDtypeStruct((D, 1), dt),
-            jax.ShapeDtypeStruct((F, 1), jnp.bool_),
+            jax.ShapeDtypeStruct((F, 1), dt),
             jax.ShapeDtypeStruct((F, 1), dt),
         ],
         interpret=interpret,
     )(Hx, Hf, r2, mask2, w2, cov.astype(dt), gate2, cap2)
     G, c, ok, chi = out
-    return G, c[:, 0], ok[:, 0], chi[:, 0]
+    return G, c[:, 0], ok[:, 0] > 0.5, chi[:, 0]
