@@ -114,6 +114,35 @@ def cmd_nees(args):
     return 0
 
 
+def cmd_timing_compare(args):
+    """Side-by-side per-stage timing stats across runs (timing_comparison
+    analogue, ov_eval/src/timing_comparison.cpp): one markdown row per
+    stage, one column pair (mean/std ms) per timing file."""
+    runs = []
+    stages = []
+    for path in args.file:
+        names, rows = load_timing(path)
+        cols = {}
+        for i, name in enumerate(names or []):
+            if i == 0:
+                continue
+            cols[name] = Stats.from_values(rows[:, i])
+            if name not in stages:
+                stages.append(name)
+        runs.append((path, cols))
+    header = "| stage | " + " | ".join(p for p, _ in runs) + " |"
+    print(header)
+    print("|---" * (len(runs) + 1) + "|")
+    for stage in stages:
+        cells = []
+        for _, cols in runs:
+            s = cols.get(stage)
+            cells.append("-" if s is None
+                         else f"{s.mean:.2f} ± {s.std:.2f} ms")
+        print(f"| {stage} | " + " | ".join(cells) + " |")
+    return 0
+
+
 def cmd_flamegraph(args):
     """Cumulative per-stage timing breakdown (timing_flamegraph analogue)."""
     names, rows = load_timing(args.file)
@@ -218,6 +247,12 @@ def main(argv=None):
         "nees", help="full-state NEES over recorder triplets (error_simulation)")
     n.add_argument("dir", help="recorder directory with state_{est,std,gt}.txt")
     n.set_defaults(fn=cmd_nees)
+
+    tc = sub.add_parser(
+        "timing-compare",
+        help="per-stage timing stats across runs (timing_comparison)")
+    tc.add_argument("file", nargs="+")
+    tc.set_defaults(fn=cmd_timing_compare)
 
     f = sub.add_parser("flamegraph", help="per-stage cumulative timing view")
     f.add_argument("file")

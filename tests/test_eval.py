@@ -148,6 +148,12 @@ def test_eval_cli_tail(tmp_path):
     with contextlib.redirect_stdout(io.StringIO()):
         assert main(["flamegraph", str(tf)]) == 0
         assert main(["percentages", str(tf)]) == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["timing-compare", str(tf), str(tf)]) == 0
+    lines = buf.getvalue().splitlines()
+    assert lines[0].count("|") == 4  # stage + two run columns
+    assert any("| a |" in ln and "3.00" in ln for ln in lines)  # mean of a
 
     # tum -> csv -> tum round trip
     tum = d / "a.txt"

@@ -36,6 +36,27 @@ def test_recorder(tmp_path):
     assert len(t) == 1
 
 
+def test_resource_monitor(tmp_path):
+    import time
+
+    from plviwo_tpu.eval.loader import load_timing
+    from plviwo_tpu.utils.monitor import ResourceMonitor, sample
+
+    s = sample(__import__("os").getpid())
+    assert s is not None and s[1] > 0 and s[2] >= 1
+    assert sample(2**30) is None  # no such pid
+    out = str(tmp_path / "usage.txt")
+    with ResourceMonitor(interval=0.05, out=out) as mon:
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 0.3:
+            sum(range(20000))
+    assert len(mon.rows) >= 2
+    assert mon.peak_rss_mb > 1.0
+    names, rows = load_timing(out)  # eval timing tools can read it
+    assert names == ["t", "cpu_pct", "rss_mb", "threads"]
+    assert rows.shape[0] == len(mon.rows)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from plviwo_tpu.config.options import EstimatorOptions
     from plviwo_tpu.core.system import VioSystem
