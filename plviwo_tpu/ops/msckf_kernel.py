@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -93,12 +94,16 @@ def _kernel(Hx_ref, Hf_ref, r_ref, mask_ref, w_ref, cov_ref, gate_ref,
         x = jnp.where(idx >= j, xcol, 0.0)                 # (M, 1)
         nx = jnp.sqrt(jnp.sum(x * x))
         xj = jnp.sum(x * (idx == j).astype(F32))
-        sgn = jnp.where(xj >= 0.0, 1.0, -1.0)
+        # literals must be strongly f32: where(pred, 1.0, -1.0) with two
+        # weak python floats yields f64 under jax_enable_x64, which Mosaic
+        # cannot lower
+        one = jnp.asarray(1.0, F32)
+        sgn = jnp.where(xj >= 0.0, one, -one)
         alpha = -sgn * nx
         v = x - alpha * (idx == j).astype(F32)             # (M, 1)
         nv = jnp.sqrt(jnp.sum(v * v))
-        v = v / jnp.where(nv < 1e-12, 1.0, nv)
-        scale = jnp.where(nv < 1e-12, 0.0, 2.0)
+        v = v / jnp.where(nv < 1e-12, one, nv)
+        scale = jnp.where(nv < 1e-12, jnp.asarray(0.0, F32), 2 * one)
         A_hf = A_hf - scale * v * _dot_t(v, A_hf)          # (M,1)*(1,k)
         A_hx = A_hx - scale * v * _dot_t(v, A_hx)          # (M,1)*(1,D)
         a_r = a_r - scale * v * jnp.sum(v * a_r)
@@ -135,8 +140,11 @@ def _kernel(Hx_ref, Hf_ref, r_ref, mask_ref, w_ref, cov_ref, gate_ref,
         rhs = rhs - yj * jnp.where(idx > j, u_col, 0.0)
         return St, chi + yj * yj, rhs
 
+    # int32 loop bounds: under jax_enable_x64 python-int bounds make the
+    # index i64, and i32==i64 comparisons insert i32->i64 converts Mosaic
+    # cannot lower (its convert rule recurses forever)
     _, chi2, _ = jax.lax.fori_loop(
-        0, M, body, (S, jnp.asarray(0.0, F32), rv))
+        jnp.int32(0), jnp.int32(M), body, (S, jnp.asarray(0.0, F32), rv))
 
     # --- gate (dof-indexed lookup as a one-hot reduction) ---
     n_rows = jnp.sum(mask).astype(jnp.int32)
@@ -189,36 +197,40 @@ def gram_gate_fused(Hx, Hf, r, rowmask, w_row, cov, gate_vec, resid_cap,
     gate2 = jnp.pad(gate_vec.astype(dt), (0, 1))[:, None]  # (M+2, 1)
     cap2 = jnp.asarray(resid_cap, dt).reshape(1, 1)
 
+    # index-map constants must be strongly int32: under jax_enable_x64 a
+    # literal 0 traces as i64 and Mosaic cannot legalize an i64 func.return
+    # (a numpy scalar, not jnp: index maps must not capture tracers)
+    z = np.int32(0)
     grid = (F,)
     out = pl.pallas_call(
         partial(_kernel, k=k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, M, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, D), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, k), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, M, 1), lambda i: (i, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda i: (0, 0),
+            pl.BlockSpec((D, D), lambda i: (z, z),
                          memory_space=pltpu.VMEM),   # cov: resident
-            pl.BlockSpec((gate_vec.shape[0] + 1, 1), lambda i: (0, 0),
+            pl.BlockSpec((gate_vec.shape[0] + 1, 1), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (z, z),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((D, D), lambda i: (0, 0),
+            pl.BlockSpec((D, D), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 1), lambda i: (0, 0),
+            pl.BlockSpec((D, 1), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, 1), lambda i: (0, 0),
+            pl.BlockSpec((F, 1), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, 1), lambda i: (0, 0),
+            pl.BlockSpec((F, 1), lambda i: (z, z),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -144,3 +144,29 @@ def test_fused_step_pallas_matches_xla():
     sc = float(jnp.max(jnp.abs(s0.cov)))
     assert dp < 1e-5, dp
     assert dcov < 1e-4 * sc, (dcov, sc)
+
+
+def test_vmap_batched_kernel():
+    """vmap of gram_gate_fused (the bench/replay batching mode) must equal
+    per-sequence calls.  x64 is enabled session-wide in conftest, so this
+    also guards the x64 trace-level regressions (i64 fori_loop indices,
+    weak-f64 where literals, i64 index-map constants) that broke the Mosaic
+    lowering even though they are masked by interpret mode."""
+    rng = np.random.default_rng(3)
+    B, F, M, D, k = 3, 4, 10, 24, 3
+    batches = [_random_systems(rng, F, M, D, k) for _ in range(B)]
+    stacked = [jnp.stack([b[i] for b in batches]) for i in range(5)]
+    gate_vec = jnp.asarray(_CHI2_NP[: M + 1]).astype(F32)
+    w = jnp.full((B, F, M), 2.0, F32)
+
+    out_v = jax.vmap(
+        lambda hx, hf, rr, mm, ww, cc: gram_gate_fused(
+            hx, hf, rr, mm, ww, cc, gate_vec, 1e9, interpret=True)
+    )(stacked[0], stacked[1], stacked[2], stacked[3], w, stacked[4])
+    for b, (Hx, Hf, r, rowmask, cov) in enumerate(batches):
+        out_1 = gram_gate_fused(Hx, Hf, r, rowmask, w[b], cov, gate_vec,
+                                1e9, interpret=True)
+        for a, bb in zip(out_v, out_1):
+            np.testing.assert_allclose(np.asarray(a[b], np.float64),
+                                       np.asarray(bb, np.float64),
+                                       rtol=0, atol=1e-5)
