@@ -153,6 +153,13 @@ class EstimatorOptions:
     use_imu_res: bool = False
     use_imu_cov: bool = False
     use_pol_cov: bool = False
+    # TPU-first joint multi-sensor update: build the point/line/wheel rows
+    # at the same pre-update state and apply ONE compress + EKF update per
+    # frame (the fused_step_full design), instead of the reference's
+    # sequential per-sensor updates (UpdaterCamera then lines then wheel,
+    # re-linearizing between).  Differences are second order in the
+    # per-frame correction; saves two full covariance rewrites per frame.
+    joint_update: bool = True
     imu: ImuOptions = field(default_factory=ImuOptions)
     cam: CameraOptions = field(default_factory=CameraOptions)
     wheel: WheelOptions = field(default_factory=WheelOptions)

@@ -109,6 +109,11 @@ class VioSystem:
                 sigma_w=op.zupt.sigma_w, gyro_thresh=op.zupt.gyro_thresh,
                 accel_var_thresh=op.zupt.accel_var_thresh,
                 window=op.zupt.window, chi2_mult=op.zupt.chi2_mult)
+        # joint multi-sensor update row collector: while this is a list, the
+        # per-sensor updaters append unit-noise (H, r, mask) row stacks here
+        # instead of applying their own EKF update; _process_pending applies
+        # ONE compress + update per frame (the fused_step_full design)
+        self._joint_rows = None
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
                       "wheel_accept": 0, "wheel_reject": 0,
@@ -420,6 +425,8 @@ class VioSystem:
                         wa[0] - np.asarray(self.state.bg),
                         np.asarray(self.state.v).copy(),
                     )
+            if self.opts.joint_update:
+                self._joint_rows = []
             tc.ding("cam")
             self._msckf_update(t_frame, marg_times)
             if self.layout.max_slam > 0:
@@ -433,10 +440,14 @@ class VioSystem:
             if self.opts.wheel.enabled:
                 self._wheel_update()
             ms_wheel = 1e3 * tc.dong("wheel")
+            tc.ding("update")
+            self._apply_joint_rows()
+            ms_update = 1e3 * tc.dong("update")
             # per-frame stage timings (reference: TimeChecker prints +
             # State_Logger timing file, SystemManager.cpp:336-352)
             self.frame_timing = {"propagate": ms_prop, "cam": ms_cam,
-                                 "line": ms_line, "wheel": ms_wheel}
+                                 "line": ms_line, "wheel": ms_wheel,
+                                 "update": ms_update}
             self._record_pose()
             if self.gps is not None:
                 was_init = self.gps.initialized
@@ -450,6 +461,26 @@ class VioSystem:
             self._db_cleanup(t_frame - self.opts.window_size - 0.05)
             self.ldb.cleanup(t_frame - self.opts.window_size - 0.05)
             self.imu_buf.prune(t_frame - self.opts.window_size - 0.5)
+
+    def _apply_joint_rows(self):
+        """Apply the frame's collected multi-sensor rows as ONE compress +
+        EKF update (TPU-first design, mirrors fused_step_full's joint
+        update; the reference re-linearizes between per-sensor updates,
+        UpdaterCamera then lines then UpdaterWheel — differences are second
+        order in the per-frame correction and regression-tested)."""
+        rows, self._joint_rows = self._joint_rows, None
+        if not rows:
+            return
+        if len(rows) == 1:
+            H_all, r_all, m_all = rows[0]
+        else:
+            H_all = jnp.concatenate([h for h, _, _ in rows], axis=0)
+            r_all = jnp.concatenate([r for _, r, _ in rows])
+            m_all = jnp.concatenate([m for _, _, m in rows])
+        Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, m_all)
+        self.state = ekf.update(
+            self.state, Hc, rc, jnp.ones(rc.shape, dtype=F64), cmask)
+        self.stats["updates"] += 1
 
     def _propagate_to(self, t_target):
         t0 = float(self.state.time)
@@ -903,12 +934,18 @@ class VioSystem:
             self.ldb.remove(used)
             return
         M = L * Hn.shape[1]
-        Hc, rc, cmask = ekf.measurement_compress(
-            Hn.reshape(M, lo.dim), rn.reshape(M), rowvalid.reshape(M)
-        )
-        self.state = ekf.update(
-            self.state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64), cmask
-        )
+        if self._joint_rows is not None:
+            s = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+            self._joint_rows.append(
+                (Hn.reshape(M, lo.dim).astype(F64) / s,
+                 rn.reshape(M).astype(F64) / s, rowvalid.reshape(M)))
+        else:
+            Hc, rc, cmask = ekf.measurement_compress(
+                Hn.reshape(M, lo.dim), rn.reshape(M), rowvalid.reshape(M)
+            )
+            self.state = ekf.update(
+                self.state, Hc, rc, jnp.full(rc.shape, sigma2, dtype=F64),
+                cmask)
         self.ldb.remove(used)
 
     # ------------------------------------------------------------------
@@ -993,7 +1030,11 @@ class VioSystem:
             chi = float(ekf.chi2(st.cov, Hw, rw, ones, mask))
             gate = float(self.chi2_table[rows]) * op.chi2_mult
             if chi < gate:
-                self.state = ekf.update(st, Hw, rw, ones, mask)
+                if self._joint_rows is not None:
+                    # whitened rows are already unit-noise
+                    self._joint_rows.append((Hw, rw, mask))
+                else:
+                    self.state = ekf.update(st, Hw, rw, ones, mask)
                 self.stats["wheel_accept"] += 1
             else:
                 self.stats["wheel_reject"] += 1
@@ -1281,11 +1322,18 @@ class VioSystem:
         H_all = Hn.reshape(M, lo.dim)
         r_all = rn.reshape(M)
         mask_all = rowvalid.reshape(M)
-        Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
-        self.state = ekf.update(
-            self.state, Hc, rc, jnp.full(rc.shape, r_unit, dtype=F64), cmask
-        )
-        self.stats["updates"] += 1
+        if self._joint_rows is not None:
+            # joint mode: contribute unit-noise rows (r_unit is 1.0 when the
+            # per-row whitening already ran, sigma2 otherwise)
+            s = jnp.sqrt(jnp.asarray(r_unit, dtype=F64))
+            self._joint_rows.append(
+                (H_all.astype(F64) / s, r_all.astype(F64) / s, mask_all))
+        else:
+            Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
+            self.state = ekf.update(
+                self.state, Hc, rc, jnp.full(rc.shape, r_unit, dtype=F64),
+                cmask)
+            self.stats["updates"] += 1
 
         # consumed: drop used tracks (MSCKF features are fire-and-forget)
         self._db_remove(used_fids)

@@ -61,6 +61,10 @@ def main(argv=None):
                          "(PLY) to this directory (rviz-publisher analogue)")
     ap.add_argument("--record", type=str, default=None,
                     help="directory for MINS-format est/std/gt triplets + timing")
+    ap.add_argument("--sequential-update", action="store_true",
+                    help="per-sensor sequential EKF updates (the reference's "
+                         "order) instead of the default joint one-dispatch "
+                         "update per frame")
     ap.add_argument("--out", type=str, default=None, help="TUM trajectory output path")
     ap.add_argument("--platform", type=str, default=None,
                     help="jax platform override (cpu to avoid the TPU claim)")
@@ -94,6 +98,7 @@ def main(argv=None):
     sim = Simulator(cfg)
 
     opts = EstimatorOptions()
+    opts.joint_update = not args.sequential_update
     opts.dynamic_cloning = args.dynamic
     opts.use_imu_res = args.imu_res
     if args.clone_freq is not None:

@@ -6,6 +6,7 @@ per-frame correction and must stay far below measurement noise."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_joint_matches_sequential_to_second_order():
@@ -53,3 +54,69 @@ def test_joint_matches_sequential_to_second_order():
     assert dp < 1e-4, dp
     assert dcl < 1e-4, dcl
     assert dcov < 1e-5, dcov
+
+
+def _live_replay(joint: bool):
+    """Short lines+wheel live replay with small shapes; returns (rmse, stats)."""
+    from plviwo_tpu.config.options import EstimatorOptions
+    from plviwo_tpu.core.system import VioSystem
+    from plviwo_tpu.ops import lie
+    from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+    cfg = SimConfig(duration=6.0, seed=4, sigma_pix=0.5, n_pts=24, n_lines=10)
+    sim = Simulator(cfg)
+    opts = EstimatorOptions()
+    opts.joint_update = joint
+    opts.clone_freq = 10
+    opts.cam.n_pts = 30
+    opts.cam.max_msckf = 12
+    opts.cam.sigma_pix = 0.5
+    opts.cam.min_track_length = 4
+    opts.cam.chi2_mult = 5.0
+    opts.cam.use_lines = True
+    opts.cam.max_lines = 6
+    opts.wheel.enabled = True
+    sys_ = VioSystem(opts)
+    sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
+    sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
+                               [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
+
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    kin0 = sim.gt_kin(imu_t[0])
+    sys_.initialize_from(float(imu_t[0]), lie.rot_2_quat(kin0["R_GtoI"]),
+                         kin0["p_IinG"], kin0["v_IinG"],
+                         sim.bg_true[0], sim.ba_true[0])
+    wheel = [(float(t),) + sim.wheel_sample(t) for t in sim.wheel_times()]
+    cam_ts = sim.cam_times()
+    frames = iter(sorted(
+        (float(t), sim.cam_frame(t), sim.line_frame(t)) for t in cam_ts))
+    nxt = next(frames, None)
+    wi = 0
+    for i in range(len(imu_t)):
+        while wi < len(wheel) and wheel[wi][0] <= imu_t[i]:
+            sys_.feed_wheel(*wheel[wi])
+            wi += 1
+        while nxt is not None and nxt[0] <= imu_t[i]:
+            t_c, (ids, uvs), (lids, segs) = nxt
+            sys_.feed_camera(t_c, ids, uvs, line_ids=lids, line_segs=segs)
+            nxt = next(frames, None)
+        sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
+    errs = [np.linalg.norm(p - np.asarray(sim.gt_kin(t)["p_IinG"]))
+            for t, _, p in sys_.traj]
+    return float(np.sqrt(np.mean(np.square(errs)))), dict(sys_.stats)
+
+
+@pytest.mark.slow
+def test_live_joint_matches_sequential():
+    """The live system's joint per-frame update (one compress + EKF update
+    across cam/line/wheel rows) must track like the sequential per-sensor
+    order: same accept counts within a few gates, comparable ATE."""
+    rmse_j, st_j = _live_replay(True)
+    rmse_s, st_s = _live_replay(False)
+    assert st_j["wheel_accept"] > 0 and st_j["line_accept"] > 0
+    assert rmse_j < 0.5 and rmse_s < 0.5, (rmse_j, rmse_s)
+    # second-order relinearization differences only: ATEs stay close
+    assert abs(rmse_j - rmse_s) < 0.5 * max(rmse_j, rmse_s) + 0.02, \
+        (rmse_j, rmse_s)
+    for k in ("cam_accept", "line_accept", "wheel_accept"):
+        assert abs(st_j[k] - st_s[k]) <= max(4, 0.25 * st_s[k]), (k, st_j, st_s)
