@@ -87,12 +87,17 @@ def rk4_mean(q, p, v, w1, a1, w2, a2, dt, gravity):
 
 
 def step_transition(
-    q_fej, p_fej, v_fej, new_q, new_p, new_v, w_hat, dt, gravity, sigmas
+    q_fej, dp_term, dv_term, new_q, w_hat, dt, sigmas
 ):
     """FEJ discrete transition F (15x15) and noise Qd for one IMU interval.
 
     Mirrors predict_and_compute (Propagator.cpp:154-236) with error order
     [theta p v bg ba].  sigmas = (sigma_w, sigma_a, sigma_wb, sigma_ab).
+
+    dp_term = new_p - p_fej - v_fej dt + 0.5 g dt^2 and
+    dv_term = new_v - v_fej + g dt are computed by the CALLER (in f64): they
+    are catastrophic cancellations of large position/velocity values, so they
+    must be formed before any downcast of this function's inputs.
     """
     dtype = new_q.dtype
     Rfej = lie.quat_2_rot(q_fej)
@@ -106,8 +111,8 @@ def step_transition(
     I3 = jnp.eye(3, dtype=dtype)
     Z3 = jnp.zeros((3, 3), dtype=dtype)
     A = -dR @ Jr_neg * dt  # theta/bg block == theta noise map
-    skP = -lie.skew(new_p - p_fej - v_fej * dt + 0.5 * gravity * dt * dt) @ Rfej.T
-    skV = -lie.skew(new_v - v_fej + gravity * dt) @ Rfej.T
+    skP = -lie.skew(dp_term) @ Rfej.T
+    skV = -lie.skew(dv_term) @ Rfej.T
     Bm = -0.5 * Rfej.T * dt * dt  # p/ba block == p accel-noise map
     Cm = -Rfej.T * dt             # v/ba block == v accel-noise map
     F = jnp.concatenate([
@@ -267,10 +272,21 @@ def propagate_arrays(
     v_start = jnp.concatenate([v_fej[None], vs[:-1]], axis=0)
     w_hats = imu_w[:-1] - bg
 
+    # The transition/noise pipeline runs in f32: Phi/Qd only steer the error
+    # covariance, so 1e-7 relative error sits far below the model error and
+    # the f32 PSD jitter floor of the update path (the mean above stays f64).
+    # TPU f64 is emulated; this is most of the propagate cost at f64.  The
+    # position/velocity cancellation terms are formed HERE in f64 first.
+    f32 = jnp.float32
+    dp_terms = (ps - p_start - v_start * dts[:, None]
+                + 0.5 * gravity[None, :] * (dts**2)[:, None])
+    dv_terms = vs - v_start + gravity[None, :] * dts[:, None]
     F_all, Qd_all = jax.vmap(
-        lambda qf, pf, vf, nq, np_, nv, wh, dt: step_transition(
-            qf, pf, vf, nq, np_, nv, wh, dt, gravity, sigmas)
-    )(q_start, p_start, v_start, qs, ps, vs, w_hats, dts)
+        lambda qf, dp, dv, nq, wh, dt: step_transition(
+            qf, dp, dv, nq, wh, dt,
+            tuple(jnp.asarray(s, f32) for s in sigmas))
+    )(q_start.astype(f32), dp_terms.astype(f32), dv_terms.astype(f32),
+      qs.astype(f32), w_hats.astype(f32), dts.astype(f32))
 
     # binary tree reduction to the total (Phi, Qd): only the product over the
     # whole window is needed, so a tree (log2(N) batched-matmul levels, N-1
@@ -287,7 +303,7 @@ def propagate_arrays(
         Fs = F2 @ F1
         Qc = F2 @ Q1 @ jnp.swapaxes(F2, -1, -2) + Q2
         Qs = 0.5 * (Qc + jnp.swapaxes(Qc, -1, -2))
-    return q_end, p_end, v_end, Fs[0], Qs[0]
+    return q_end, p_end, v_end, Fs[0].astype(q.dtype), Qs[0].astype(q.dtype)
 
 
 def propagate(state: FilterState, imu_t, imu_w, imu_a, t_end, gravity, sigmas) -> FilterState:
