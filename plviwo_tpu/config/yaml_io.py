@@ -85,9 +85,16 @@ def _apply(obj, data, prefix, unknown):
             setattr(obj, key, _parse_scalar(val))
 
 
-def load_options(path: str, strict: bool = True) -> Options:
-    """Load an Options tree from a master YAML (+ its config_files)."""
-    opts = Options()
+def load_options(path: str, strict: bool = True,
+                 base: Options | None = None) -> Options:
+    """Load an Options tree from a master YAML (+ its config_files).
+
+    `base` (mutated in place when given) supplies pre-YAML defaults — e.g. a
+    driver's dataset-appropriate settings — which any key the YAML actually
+    sets overrides.  This is the reference's precedence (struct defaults →
+    YAML → ROS param override, opencv_yaml_parse.h); the round-2 driver had
+    it backwards (run_kaist.py clobbered YAML values after loading)."""
+    opts = Options() if base is None else base
     data = _load_yaml(path)
     base = os.path.dirname(os.path.abspath(path))
     files = data.pop("config_files", [])

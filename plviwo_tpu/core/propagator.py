@@ -273,8 +273,9 @@ def propagate_arrays(
     w_hats = imu_w[:-1] - bg
 
     # The transition/noise pipeline runs in f32: Phi/Qd only steer the error
-    # covariance, so 1e-7 relative error sits far below the model error and
-    # the f32 PSD jitter floor of the update path (the mean above stays f64).
+    # covariance, so ~1e-6 relative error (accumulated f32 rounding over the
+    # log2(N) tree of transition matmuls) sits below the model error and the
+    # f32 PSD jitter floor of the update path (the mean above stays f64).
     # TPU f64 is emulated; this is most of the propagate cost at f64.  The
     # position/velocity cancellation terms are formed HERE in f64 first.
     f32 = jnp.float32

@@ -60,7 +60,9 @@ class KaistDataset:
             (os.path.join(sd, n) for n in ("vrs_gps.csv", "gps.csv")
              if os.path.exists(os.path.join(sd, n))), None)
         self.left_dir = os.path.join(sd, "stereo", "left")
+        self.right_dir = os.path.join(sd, "stereo", "right")
         self.has_images = os.path.isdir(self.left_dir)
+        self.has_stereo = os.path.isdir(self.right_dir)
         self._load_calibration()
 
     # ------------------------------------------------------------------
@@ -125,9 +127,11 @@ class KaistDataset:
         )
         return np.asarray(stamps, dtype=np.float64) * 1e-9
 
-    def image(self, t):
-        """Grayscale float32 image at timestamp t (requires a PNG decoder)."""
-        path = os.path.join(self.left_dir, f"{int(round(t * 1e9))}.png")
+    def image(self, t, cam: int = 0):
+        """Grayscale float32 image at timestamp t (requires a PNG decoder).
+        cam=0 -> stereo/left, cam=1 -> stereo/right."""
+        d = self.left_dir if cam == 0 else self.right_dir
+        path = os.path.join(d, f"{int(round(t * 1e9))}.png")
         from PIL import Image  # pillow ships with the baked image
 
         img = np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0

@@ -147,12 +147,26 @@ def _theta2_safe(w):
     return th2, th_safe, small
 
 
+def _cancel_cut(dtype):
+    """Taylor-branch cutoff on th^2 for coefficients that form a catastrophic
+    cancellation in their closed form ((th - sin th)/th^3 and relatives).
+
+    In f32 the closed forms lose most of their bits well beyond the tiny
+    NaN-safety cutoff (1 - cos th flushes near ulp(1) for th ~ 1e-4), so the
+    Taylor branch must extend to th ~ 0.3 where a 3-term series is still
+    accurate to ~1e-8 relative.  In f64 a th ~ 1e-3 cutoff keeps both branches
+    below 1e-9 relative error."""
+    return 0.09 if jnp.finfo(dtype).eps > 1e-10 else 1e-6
+
+
 def exp_so3(w):
     """so(3) exponential: (...,3) -> (...,3,3), branch-free small-angle safe."""
     th2, th, small = _theta2_safe(w)
-    # sin(th)/th and (1-cos th)/th^2 with Taylor fallbacks
+    # sin(th)/th and (1-cos th)/th^2 with Taylor fallbacks; 1-cos is written
+    # as 2 sin^2(th/2) which is exact and cancellation-free in every dtype
     a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
-    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
+    s2 = jnp.sin(th / 2.0)
+    b = jnp.where(small, 0.5 - th2 / 24.0, 2.0 * s2 * s2 / (th * th))
     sk = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
@@ -179,9 +193,11 @@ def jl_so3(w):
     """Left Jacobian of SO(3)."""
     th2, th, small = _theta2_safe(w)
     sk = skew(w)
-    a = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
+    s2 = jnp.sin(th / 2.0)
+    a = jnp.where(small, 0.5 - th2 / 24.0, 2.0 * s2 * s2 / (th * th))
+    smallb = th2 < _cancel_cut(w.dtype)
     b = jnp.where(
-        small, 1.0 / 6.0 - th2 / 120.0,
+        smallb, 1.0 / 6.0 - th2 / 120.0 + th2 * th2 / 5040.0,
         (th - jnp.sin(th)) / (th * th * th),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
@@ -203,10 +219,12 @@ def gamma2_so3(w):
     integrals, cpi/CpiV2.cpp)."""
     th2, th, small = _theta2_safe(w)
     sk = skew(w)
-    a = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+    smallc = th2 < _cancel_cut(w.dtype)
+    a = jnp.where(smallc, 1.0 / 6.0 - th2 / 120.0 + th2 * th2 / 5040.0,
                   (th - jnp.sin(th)) / (th * th * th))
-    b = jnp.where(small, 1.0 / 24.0 - th2 / 720.0,
-                  (th * th / 2.0 + jnp.cos(th) - 1.0) / (th2 * th2))
+    s2 = jnp.sin(th / 2.0)
+    b = jnp.where(smallc, 1.0 / 24.0 - th2 / 720.0 + th2 * th2 / 40320.0,
+                  (th * th / 2.0 - 2.0 * s2 * s2) / (th2 * th2))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return 0.5 * eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
 
@@ -217,9 +235,10 @@ def jl_so3_inv(w):
     sk = skew(w)
     half = th / 2.0
     cot = half / jnp.tan(half)
+    smallb = th2 < _cancel_cut(w.dtype)
     b = jnp.where(
-        small,
-        1.0 / 12.0 + th2 / 720.0,
+        smallb,
+        1.0 / 12.0 + th2 / 720.0 + th2 * th2 / 30240.0,
         (1.0 - cot) / (th * th),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)

@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--wheel", action="store_true")
     ap.add_argument("--gps", action="store_true")
     ap.add_argument("--lines", action="store_true")
+    ap.add_argument("--stereo", action="store_true",
+                    help="use stereo/right images when present (the reference "
+                         "README forces mono on KAIST; stereo is opt-in here)")
     ap.add_argument("--dynamic", action="store_true")
     ap.add_argument("--config", type=str, default=None,
                     help="layered YAML config (see configs/kaist/config.yaml)")
@@ -40,64 +43,83 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
-    from .config.options import EstimatorOptions
+    from .config.options import Options
     from .core.system import VioSystem
     from .data.kaist import KaistDataset
     from .update.line_tracker import LineTracker
-    from .update.tracker import KltTracker
+    from .update.tracker import KltTracker, StereoKltTracker
 
     ds = KaistDataset(args.root)
     if not ds.has_imu:
         print(json.dumps({"error": f"no sensor_data/xsens_imu.csv under {args.root}"}))
         return 2
 
-    # default left-camera calibration (standard KAIST rig); overridden by the
-    # layered YAML config's cam.intrinsics/extrinsics (configs/kaist/
-    # config_camera.yaml carries the reference's calibrated values)
-    cam_k = [816.402, 817.316, 608.826, 266.688, -0.0568, 0.0836, 0.0007, -0.0004]
-    cam_q = [0.5019, -0.4999, 0.4981, -0.5001]  # q_ItoC approx (forward camera)
-    cam_p = [0.0, 0.0, 0.0]
-    cam_dt = 0.0
+    # KAIST driver defaults (reference config/kaist/kaist_C values), applied
+    # BEFORE the YAML so any key the YAML sets wins (config precedence fix —
+    # round-2 clobbered sigma_pix/chi2_mult/... after load_options)
+    base = Options()
+    base.est.cam.sigma_pix = 1.5
+    base.est.cam.chi2_mult = 8.0
+    base.est.cam.min_track_length = 4
+    base.est.cam.max_msckf = 40
+    # default left-camera calibration (standard KAIST rig); configs/kaist/
+    # config_camera.yaml carries the reference's calibrated values
+    base.est.cam.intrinsics = [[816.402, 817.316, 608.826, 266.688,
+                                -0.0568, 0.0836, 0.0007, -0.0004]]
+    base.est.cam.extrinsics = [[0.5019, -0.4999, 0.4981, -0.5001,
+                                0.0, 0.0, 0.0]]
+    base.est.cam.timeoffsets = [0.0]
+    if args.wheel:
+        base.est.wheel.enabled = True
+        base.est.wheel.type = "Wheel3DAng"
+        base.est.wheel.noise_w = 0.2
+        base.est.wheel.noise_v = 0.5
+        base.est.wheel.noise_p = 0.1
+        base.est.wheel.intrinsics = list(map(float, ds.wheel_intr))
+    if args.gps:
+        base.est.gps.enabled = True
+        base.est.gps.noise = 3.0
+        base.est.gps.chi2_mult = 9999.0  # reference kaist config
+        base.est.gps.init_distance = 20.0
 
     if args.config:
         from .config.yaml_io import load_options
 
-        opts = load_options(args.config).est
-        if opts.cam.intrinsics:
-            cam_k = list(opts.cam.intrinsics[0])
-        if opts.cam.extrinsics:
-            ext = list(opts.cam.extrinsics[0])
-            cam_q, cam_p = ext[0:4], ext[4:7]
-        if opts.cam.timeoffsets:
-            cam_dt = float(opts.cam.timeoffsets[0])
+        opts = load_options(args.config, base=base).est
     else:
-        opts = EstimatorOptions()
+        opts = base.est
     opts.dynamic_cloning = args.dynamic or opts.dynamic_cloning
-    opts.cam.sigma_pix = 1.5
-    opts.cam.chi2_mult = 8.0
-    opts.cam.min_track_length = 4
-    opts.cam.max_msckf = 40
     opts.cam.use_lines = args.lines
-    if args.wheel:
-        opts.wheel.enabled = True
-        opts.wheel.type = "Wheel3DAng"
-        opts.wheel.noise_w = 0.2
-        opts.wheel.noise_v = 0.5
-        opts.wheel.noise_p = 0.1
-        opts.wheel.intrinsics = list(ds.wheel_intr)
-    if args.gps:
-        opts.gps.enabled = True
-        opts.gps.noise = 3.0
-        opts.gps.chi2_mult = 9999.0  # reference kaist config
-        opts.gps.init_distance = 20.0
+    use_stereo = bool(args.stereo and ds.has_stereo
+                      and len(opts.cam.intrinsics) > 1
+                      and len(opts.cam.extrinsics) > 1)
+
+    cam_k = list(opts.cam.intrinsics[0])
+    ext = list(opts.cam.extrinsics[0])
+    cam_q, cam_p = ext[0:4], ext[4:7]
+    cam_dt = float(opts.cam.timeoffsets[0]) if opts.cam.timeoffsets else 0.0
 
     sys_ = VioSystem(opts)
     sys_.set_calibration(cam_k, cam_q, cam_p, cam_dt=cam_dt)
+    if use_stereo:
+        ext1 = list(opts.cam.extrinsics[1])
+        dt1 = (float(opts.cam.timeoffsets[1])
+               if len(opts.cam.timeoffsets) > 1 else 0.0)
+        sys_.set_calibration(list(opts.cam.intrinsics[1]), ext1[0:4],
+                             ext1[4:7], cam_dt=dt1, cam=1)
     if args.wheel:
-        sys_.set_wheel_calibration([0.0, 0.0, 0.0, 1.0], [0.0, 0.0, 0.0],
-                                   list(ds.wheel_intr))
+        wext = list(opts.wheel.extrinsics)
+        sys_.set_wheel_calibration(wext[0:4], wext[4:7],
+                                   list(opts.wheel.intrinsics))
+    if args.gps and opts.gps.extrinsics:
+        sys_.state = sys_.state.replace(
+            gps_p=sys_.state.gps_p.at[0].set(
+                np.asarray(opts.gps.extrinsics[0], dtype=np.float64)))
 
-    tracker = KltTracker(n_pts=150, cam_k=np.asarray(cam_k), grid_x=16, grid_y=10)
+    n_pts = int(opts.cam.n_pts) if opts.cam.n_pts else 150
+    tracker_cls = StereoKltTracker if use_stereo else KltTracker
+    tracker = tracker_cls(n_pts=n_pts, cam_k=np.asarray(cam_k),
+                          grid_x=16, grid_y=10)
     ltracker = LineTracker(max_lines=opts.cam.max_lines) if args.lines else None
 
     t0_wall = time.time()
@@ -116,12 +138,22 @@ def main(argv=None):
             sys_.feed_gps(t, *payload)
         elif kind == "image" and ds.has_images:
             img = ds.image(t)
-            ids, uvs = tracker.feed(img)
-            if ltracker is not None:
-                lids, segs, lpids = ltracker.feed(img, ids, uvs)
-                sys_.feed_camera(t, ids, uvs, lids, segs, lpids)
+            if use_stereo:
+                img_r = ds.image(t, cam=1)
+                ids0, uv0, ids1, uv1 = tracker.feed_stereo(img, img_r)
+                if ltracker is not None:
+                    lids, segs, lpids = ltracker.feed(img, ids0, uv0)
+                    sys_.feed_stereo(t, ids0, uv0, ids1, uv1,
+                                     lids, segs, lpids)
+                else:
+                    sys_.feed_stereo(t, ids0, uv0, ids1, uv1)
             else:
-                sys_.feed_camera(t, ids, uvs)
+                ids, uvs = tracker.feed(img)
+                if ltracker is not None:
+                    lids, segs, lpids = ltracker.feed(img, ids, uvs)
+                    sys_.feed_camera(t, ids, uvs, lids, segs, lpids)
+                else:
+                    sys_.feed_camera(t, ids, uvs)
             n_frames += 1
     wall = time.time() - t0_wall
 

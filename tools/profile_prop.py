@@ -98,13 +98,13 @@ def main():
         def chain(c, i):
             def one(qq, w):
                 qs = jnp.tile(qq, (N - 1, 1))
-                ps = jnp.zeros((N - 1, 3), dtype=qq.dtype)
-                vs = jnp.zeros((N - 1, 3), dtype=qq.dtype)
+                dps = jnp.zeros((N - 1, 3), dtype=qq.dtype)
+                dvs = jnp.zeros((N - 1, 3), dtype=qq.dtype)
                 dts = imu_t[0][1:] - imu_t[0][:-1]
                 F_all, Q_all = jax.vmap(
-                    lambda qf, pf, vf, wh, dtt: propagator.step_transition(
-                        qf, pf, vf, qf, pf, vf, wh, dtt, gravity, sigmas)
-                )(qs, ps, vs, w[:-1], dts)
+                    lambda qf, dp, dv, wh, dtt: propagator.step_transition(
+                        qf, dp, dv, qf, wh, dtt, sigmas)
+                )(qs, dps, dvs, w[:-1], dts)
                 def compose(x, y):
                     A1, Q1 = x
                     A2, Q2 = y
