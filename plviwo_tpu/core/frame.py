@@ -201,14 +201,14 @@ def _attach_points(segs, seg_valid, uv, pt_valid, max_dist=5.0,
 @partial(jax.jit, static_argnames=(
     "levels", "half", "iters", "grid_x", "grid_y", "min_px_dist",
     "min_track", "min_track_line", "cam_model", "line_grid",
-    "line_anchors", "line_steps", "min_line_length"))
+    "line_anchors", "line_steps", "min_line_length", "lk_conv"))
 def track_frame(
     ts: TrackState, img, cam_k, t_new, slot_new,
     levels: int = 3, half: int = 7, iters: int = 10,
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     min_track: int = 4, min_track_line: int = 3, cam_model: int = 0,
     line_grid: int = 16, line_anchors: int = 192, line_steps: int = 96,
-    min_line_length: float = 30.0,
+    min_line_length: float = 30.0, lk_conv: bool = True,
 ):
     """One tracked camera frame entirely on device.
 
@@ -222,12 +222,17 @@ def track_frame(
     O = ts.hist_uv.shape[1]
     Lm = ts.lseg.shape[0]
 
-    img = image_ops.hist_equalize(img.astype(F32))
+    # quantile-based equalization: gather-free (see ops/image.py — the LUT
+    # variant's scatter+gather was the single largest cost of this step)
+    img = image_ops.hist_equalize_quantile(img.astype(F32))
     pyr = image_ops.build_pyramid(img, levels)
     prev_pyr = (ts.pyr0, ts.pyr1, ts.pyr2)
 
     # ---- temporal LK + RANSAC ----
-    uv_next, ok = klt_ops.pyramidal_lk(
+    # lk_conv: gather-free shifted-MAC LK (the TPU-fast path; see
+    # ops/klt.py pyramidal_lk_conv) vs the reference gather formulation
+    lk_fn = klt_ops.pyramidal_lk_conv if lk_conv else klt_ops.pyramidal_lk
+    uv_next, ok = lk_fn(
         prev_pyr, tuple(pyr), ts.uv, ts.valid & ts.has_prev, levels, half,
         iters)
     key, sub = jax.random.split(ts.key)
@@ -406,7 +411,7 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "model", "window_size", "cam_dtype", "wheel_type", "use_pallas",
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
-    "use_wheel"))
+    "use_wheel", "lk_conv"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -418,7 +423,7 @@ def fused_frame(
     levels: int = 3, half: int = 7, iters: int = 10,
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
-    use_wheel: bool = True,
+    use_wheel: bool = True, lk_conv: bool = True,
 ):
     """One full PL-VIWO frame from PIXELS in one jit dispatch.
 
@@ -442,7 +447,7 @@ def fused_frame(
         levels=levels, half=half, iters=iters, grid_x=grid_x, grid_y=grid_y,
         min_px_dist=min_px_dist, min_track=min_track,
         min_track_line=min_track_line, cam_model=model,
-        line_anchors=line_anchors, line_steps=line_steps)
+        line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv)
 
     p_mask = _liveness(state, p_slot, p_t, p_mask)
     l_mask = _liveness(state, l_slot, l_t, l_mask)

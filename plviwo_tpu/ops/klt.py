@@ -196,6 +196,148 @@ def pyramidal_lk(prev_pyr, next_pyr, uv_prev, valid, levels: int, half: int = 7,
 
 
 # ---------------------------------------------------------------------------
+# gather-free pyramidal LK (patch + shifted-MAC bilinear sampling)
+# ---------------------------------------------------------------------------
+#
+# TPU-first reformulation of `_lk_level` (VERDICT round-3 item 1): XLA lowers
+# the vmapped `bilinear_sample` calls to SCALAR gathers — ~1.3M gathered
+# elements per level iteration at N=128 — which run on the scalar unit and
+# dominate the whole images-in frame (measured ~60 ms/frame/seq at B=16).
+# Here each feature instead extracts ONE contiguous (PS, PS) patch per level
+# (a vmapped dynamic_slice = N block reads), and every subsequent bilinear
+# window sample becomes a separable weighted sum of STATIC shifted slices of
+# that patch:
+#
+#   sample(r) = sum_j P[r + j] * tri(u - j),   tri(t) = max(0, 1 - |t|)
+#
+# with u = (window start offset inside the patch) — only two taps are ever
+# nonzero, but evaluating all KS taps as static slices turns the gather into
+# pure VPU multiply-accumulates (~50 MFLOP/frame: free).  The drift budget D
+# bounds how far the iterations may move from the initial guess; beyond it
+# the feature is marked failed (the same features fail the error gate in the
+# gather formulation).
+
+
+def _patch_sample(P, u_y, u_x, out_h: int, out_w: int, D: int):
+    """Separable shifted-MAC bilinear window sample from per-feature patches.
+
+    P: (N, PS, PS) patches; u_y/u_x: (N,) window start offsets inside the
+    patch (continuous).  Returns (N, out_h, out_w) sampled at rows
+    u_y + r, cols u_x + c.  Exact bilinear wherever 0 <= u <= PS - out - 1.
+    """
+    KS = 2 * D + 3
+    taps = jnp.arange(KS, dtype=P.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_y[:, None] - taps[None, :]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_x[:, None] - taps[None, :]))
+    PS = P.shape[-1]
+    A = jnp.zeros((P.shape[0], out_h, PS), dtype=P.dtype)
+    for j in range(KS):
+        A = A + P[:, j : j + out_h, :] * wy[:, j, None, None]
+    out = jnp.zeros((P.shape[0], out_h, out_w), dtype=P.dtype)
+    for i in range(KS):
+        out = out + A[:, :, i : i + out_w] * wx[:, i, None, None]
+    return out
+
+
+def _extract_patches(img, oy, ox, PS: int):
+    """(N,) integer origins -> (N, PS, PS) contiguous patches (block reads)."""
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (PS, PS))
+
+    return jax.vmap(one)(oy, ox)
+
+
+def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
+                   iters: int, drift: int = 5):
+    """One pyramid level of IC-LK, gather-free.  Same contract as
+    `_lk_level`: returns (uv, err, good, inb)."""
+    W = 2 * half + 1
+    D = drift
+    KS = 2 * D + 3
+    PS = W + 2 + KS - 1  # extended (W+2) window + KS taps
+    H, Wd = img_next.shape
+    f32 = img_prev.dtype
+
+    # template patch: origin so the extended window starts near u = D + 1
+    gp = jnp.floor(uv_prev)
+    oxp = jnp.clip(gp[:, 0].astype(jnp.int32) - (half + 1) - (D + 1), 0,
+                   Wd - PS)
+    oyp = jnp.clip(gp[:, 1].astype(jnp.int32) - (half + 1) - (D + 1), 0,
+                   H - PS)
+    Pp = _extract_patches(img_prev, oyp, oxp, PS)
+    # extended (W+2)^2 template at uv_prev - (half+1)
+    uty = uv_prev[:, 1] - oyp.astype(f32) - (half + 1)
+    utx = uv_prev[:, 0] - oxp.astype(f32) - (half + 1)
+    T_ext = _patch_sample(Pp, uty, utx, W + 2, W + 2, D)
+    T = T_ext[:, 1:-1, 1:-1]
+    Gx = 0.5 * (T_ext[:, 1:-1, 2:] - T_ext[:, 1:-1, :-2])
+    Gy = 0.5 * (T_ext[:, 2:, 1:-1] - T_ext[:, :-2, 1:-1])
+    a = jnp.sum(Gx * Gx, axis=(1, 2))
+    b_ = jnp.sum(Gx * Gy, axis=(1, 2))
+    c = jnp.sum(Gy * Gy, axis=(1, 2))
+    det = a * c - b_ * b_
+    good = det > 1e-6
+
+    # target patch: fixed integer origin from the initial guess; iterations
+    # move only the continuous offset within the patch
+    gg = jnp.floor(uv_guess)
+    oxg = jnp.clip(gg[:, 0].astype(jnp.int32) - half - (D + 1), 0, Wd - PS)
+    oyg = jnp.clip(gg[:, 1].astype(jnp.int32) - half - (D + 1), 0, H - PS)
+    Pn = _extract_patches(img_next, oyg, oxg, PS)
+    og = jnp.stack([oxg, oyg], -1).astype(f32)
+
+    def body(uv, _):
+        u = uv - og - half  # window start offset inside the patch
+        I = _patch_sample(Pn, u[:, 1], u[:, 0], W, W, D)
+        e = I - T
+        bx = jnp.sum(Gx * e, axis=(1, 2))
+        by = jnp.sum(Gy * e, axis=(1, 2))
+        bad = det < 1e-8
+        det_s = jnp.where(bad, 1.0, det)
+        dx = jnp.where(bad, 0.0, (c * bx - b_ * by) / det_s)
+        dy = jnp.where(bad, 0.0, (-b_ * bx + a * by) / det_s)
+        return uv - jnp.stack([dx, dy], -1), None
+
+    uv, _ = jax.lax.scan(body, uv_guess, None, length=iters)
+
+    u = uv - og - half
+    in_patch = ((u[:, 0] >= 0.0) & (u[:, 0] <= PS - W - 1)
+                & (u[:, 1] >= 0.0) & (u[:, 1] <= PS - W - 1))
+    I = _patch_sample(Pn, u[:, 1], u[:, 0], W, W, D)
+    err = jnp.mean(jnp.abs(I - T), axis=(1, 2))
+    inb = (
+        (uv[:, 0] > half) & (uv[:, 0] < Wd - half - 1)
+        & (uv[:, 1] > half) & (uv[:, 1] < H - half - 1)
+    ) & in_patch
+    return uv, err, good, inb
+
+
+@partial(jax.jit, static_argnames=("levels", "half", "iters", "drift"))
+def pyramidal_lk_conv(prev_pyr, next_pyr, uv_prev, valid, levels: int,
+                      half: int = 7, iters: int = 10, max_err: float = 0.08,
+                      drift: int = 5):
+    """Gather-free `pyramidal_lk` (same contract; see `_lk_level_conv`).
+
+    Features whose per-level motion exceeds the drift budget D relative to
+    the coarse-level initialization are marked failed rather than chased —
+    on tracking workloads those are the features the error gate rejects in
+    the gather formulation too.
+    """
+    scale = 2.0 ** (levels - 1)
+    uv = uv_prev / scale
+    ok = valid
+    for l in range(levels - 1, -1, -1):
+        uv_l_prev = uv_prev / (2.0**l)
+        uv, err, good, inb = _lk_level_conv(prev_pyr[l], next_pyr[l],
+                                            uv_l_prev, uv, half, iters, drift)
+        ok = ok & inb & (good if l == 0 else True)
+        if l > 0:
+            uv = uv * 2.0
+    ok = ok & (err < max_err)
+    return uv, ok
+
+
+# ---------------------------------------------------------------------------
 # RANSAC fundamental-matrix gate
 # ---------------------------------------------------------------------------
 

@@ -43,8 +43,27 @@ class LineTrack:
     segs: list       # raw pixel endpoints (4,) per obs
     segs_n: list     # undistorted normalized endpoints (4,)
     point_ids: list  # attached KLT point ids, one list per obs
-    D: int = 0       # vanishing-point class: 0 none, 1 x, 2 y, 3 z
+    classes: list = None  # per-obs vanishing-point class (0 none, 1 x, 2 y, 3 z)
+    D: int = 0       # legacy single class (kept for external callers)
     to_delete: bool = False
+
+    def majority_class(self) -> int:
+        """Per-track class by per-observation majority vote (round-3: the
+        reference classifies each FRAME from the current IMU rotation,
+        UpdaterCamera.cpp:100-104 + LineHelper.cpp:1026-1056; a single
+        first-observation classification goes stale under attitude drift).
+        Requires the winning axis on >= half the classified votes and >= 2
+        votes; ties/weak support -> 0 (unclassified)."""
+        votes = [c for c in (self.classes or []) if c in (1, 2, 3)]
+        if not votes and self.D:
+            return self.D
+        if len(votes) < 2:
+            return 0
+        counts = [votes.count(k) for k in (1, 2, 3)]
+        best = int(np.argmax(counts))
+        if counts[best] * 2 >= len(self.classes or votes):
+            return best + 1
+        return 0
 
 
 class LineDatabase:
@@ -56,12 +75,16 @@ class LineDatabase:
     def update(self, lid: int, t: float, seg, seg_n, point_ids=(), D: int = 0):
         tr = self.tracks.get(lid)
         if tr is None:
-            tr = LineTrack(lid=lid, times=[], segs=[], segs_n=[], point_ids=[])
+            tr = LineTrack(lid=lid, times=[], segs=[], segs_n=[],
+                           point_ids=[], classes=[])
             self.tracks[lid] = tr
+        if tr.classes is None:
+            tr.classes = []
         tr.times.append(t)
         tr.segs.append(np.asarray(seg, dtype=np.float64))
         tr.segs_n.append(np.asarray(seg_n, dtype=np.float64))
         tr.point_ids.append(list(point_ids))
+        tr.classes.append(int(D))
         if D:
             tr.D = D
 
@@ -78,6 +101,9 @@ class LineDatabase:
                 tr.segs_n = [tr.segs_n[i] for i in keep]
                 tr.point_ids = [tr.point_ids[i] for i in keep
                                 if i < len(tr.point_ids)]
+                if tr.classes:
+                    tr.classes = [tr.classes[i] for i in keep
+                                  if i < len(tr.classes)]
         for lid in dead:
             del self.tracks[lid]
 

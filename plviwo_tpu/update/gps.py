@@ -87,6 +87,49 @@ def horn_4dof(p_W, p_E):
     return R, t, yaw, rms
 
 
+def ransac_4dof(p_W, p_E, thresh, n_hyp: int = 128, seed: int = 0):
+    """Robust 4-DoF initial guess: 2-point yaw+translation hypotheses,
+    consensus by alignment residual, Horn refit on the inlier set.
+
+    (Reference: MathGPS::Ransac_4Dof, MathGPS.h:129, used by
+    UpdaterGPS::get_initial_guess — round-2 had Horn-only, leaving the init
+    unguarded against GNSS outliers under the KAIST chi2_mult=9999 config.)
+
+    Returns (R, t, yaw, rms_inliers, inlier_mask).
+    """
+    p_W = np.asarray(p_W, dtype=float)
+    p_E = np.asarray(p_E, dtype=float)
+    n = len(p_W)
+    if n < 4:
+        R, t, yaw, rms = horn_4dof(p_W, p_E)
+        return R, t, yaw, rms, np.ones(n, dtype=bool)
+    rng = np.random.default_rng(seed)
+    best_inl = np.ones(n, dtype=bool)
+    best_cnt = -1
+    for _ in range(n_hyp):
+        i, j = rng.choice(n, 2, replace=False)
+        dW = p_W[j] - p_W[i]
+        dE = p_E[j] - p_E[i]
+        if np.hypot(*dW[:2]) < 0.5:  # degenerate horizontal baseline
+            continue
+        yaw = np.arctan2(dE[1], dE[0]) - np.arctan2(dW[1], dW[0])
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        t = 0.5 * ((p_E[i] - R @ p_W[i]) + (p_E[j] - R @ p_W[j]))
+        resid = np.linalg.norm(p_E - (p_W @ R.T + t), axis=1)
+        inl = resid < thresh
+        if inl.sum() > best_cnt:
+            best_cnt = int(inl.sum())
+            best_inl = inl
+    if best_cnt < max(3, n // 3):
+        # no consensus: fall back to Horn over everything (caller's rms
+        # gate rejects if the cloud is inconsistent)
+        R, t, yaw, rms = horn_4dof(p_W, p_E)
+        return R, t, yaw, rms, np.ones(n, dtype=bool)
+    R, t, yaw, rms = horn_4dof(p_W[best_inl], p_E[best_inl])
+    return R, t, yaw, rms, best_inl
+
+
 def transform_state_to_enu(state, R_WtoE, p_WinE):
     """Rotate the whole filter state (means + covariance) from W to ENU.
 
@@ -343,8 +386,9 @@ class GpsUpdater:
         dist = float(np.sum(np.linalg.norm(np.diff(ps, axis=0), axis=1)))
         if dist < self.op.init_distance:
             return
-        # build correspondences at fix times
-        p_W, p_E, itps = [], [], []
+        # build correspondences at fix times (covered is filtered in lockstep
+        # so covered[k] <-> p_W[k] <-> itps[k] stay aligned)
+        p_W, p_E, itps, kept = [], [], [], []
         st = system.state
         ext = np.asarray(st.gps_p[0]) if self.layout.n_gps > 0 else np.zeros(3)
         for t, p in covered:
@@ -359,13 +403,27 @@ class GpsUpdater:
             p_W.append(np.asarray(p_t) + np.asarray(R_t).T @ ext)
             p_E.append(p)
             itps.append(itp)
+            kept.append((t, p))
+        covered = kept
         if len(p_W) < 3:
             return
-        R, t_al, yaw, rms = horn_4dof(np.asarray(p_W), np.asarray(p_E))
-        if rms > 10.0 * self.op.noise:
+        # robust initial guess: RANSAC over fix pairs, Horn refit on the
+        # consensus set (MathGPS::Ransac_4Dof); outlier fixes are excluded
+        # from the delayed-init linear system below
+        R, t_al, yaw, rms, inl = ransac_4dof(
+            np.asarray(p_W), np.asarray(p_E), thresh=3.0 * self.op.noise)
+        if rms > 10.0 * self.op.noise or inl.sum() < 3:
             # decimate like the reference's failed-init path
             self.pending = self.pending[::2]
             return
+        if inl.sum() < 0.5 * len(p_W):
+            # weak consensus: wait for more fixes rather than commit a
+            # possibly-wrong frame alignment
+            return
+        covered = [c for c, m in zip(covered, inl) if m]
+        p_W = [p for p, m in zip(p_W, inl) if m]
+        p_E = [p for p, m in zip(p_E, inl) if m]
+        itps = [p for p, m in zip(itps, inl) if m]
 
         # --- delayed initialization of the 4-DoF transform (reference:
         # construct_init_linsys + StateHelper::initialize,

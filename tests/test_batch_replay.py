@@ -1,0 +1,31 @@
+"""BASELINE config 5 composed flow (round-3 VERDICT item 4).
+
+`parallel/batch_replay.py` chains sequence-sharded batch replay ->
+keyframe/landmark extraction -> distributed Schur-complement BA ->
+per-sequence ATE report.  Round 2 had the replay and the BA tested only in
+isolation; this drives the one-command composition on the virtual device
+mesh and asserts BA refinement does not hurt (and the replay produced real
+accepted rows).
+"""
+
+import numpy as np
+import pytest
+
+from plviwo_tpu.parallel.batch_replay import run_batch_replay
+
+
+@pytest.mark.slow
+def test_batch_replay_with_ba_refinement():
+    report = run_batch_replay(n_seq=2, n_devices=2, duration=8.0)
+    assert report["n_seq"] == 2 and report["devices"] == 2
+    assert report["accepted"] > 100, report
+    assert report["lines_accepted"] > 20, report
+    assert len(report["sequences"]) == 2
+    for s in report["sequences"]:
+        assert np.isfinite(s["ate_before_m"]) and s["ate_before_m"] < 1.0, s
+        assert s["ate_after_m"] is not None, s
+        # BA must improve (or provably not hurt) the keyframe ATE
+        assert s["ate_after_m"] <= s["ate_before_kf_m"] * 1.05, s
+        # GN gain decays (the solve converged, not diverged)
+        g = s["ba_gain"]
+        assert g[-1] < g[0] * 1e-2, g

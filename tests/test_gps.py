@@ -48,6 +48,45 @@ class TestHorn:
         assert rms < 1.0
 
 
+class TestRansac4Dof:
+    """MathGPS::Ransac_4Dof analogue (VERDICT round-3 item 6): 20% corrupted
+    fixes must not move the initial guess; plain Horn must visibly break on
+    the same data (the regression the RANSAC exists to prevent)."""
+
+    def _make(self, frac_bad, n=25, noise=0.5, seed=2):
+        rng = np.random.default_rng(seed)
+        t_axis = np.linspace(0, 40, n)
+        p_W = np.stack([t_axis, 3 * np.sin(t_axis / 6), 0.1 * t_axis], 1)
+        yaw = 0.9
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_true = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        t_true = np.array([12.0, -7.0, 2.0])
+        p_E = p_W @ R_true.T + t_true + rng.normal(size=(n, 3)) * noise
+        n_bad = int(frac_bad * n)
+        bad = rng.choice(n, n_bad, replace=False)
+        p_E[bad] += rng.normal(size=(n_bad, 3)) * 40.0  # gross GNSS outliers
+        return p_W, p_E, yaw, t_true, bad
+
+    def test_clean_matches_horn(self):
+        p_W, p_E, yaw, t_true, _ = self._make(0.0)
+        R, t, yaw_est, rms, inl = gps_up.ransac_4dof(p_W, p_E, thresh=1.5)
+        assert abs(yaw_est - yaw) < 0.02
+        assert np.linalg.norm(t - t_true) < 0.5
+        assert inl.sum() >= 0.9 * len(p_W)
+
+    def test_20pct_corrupted_still_initializes(self):
+        p_W, p_E, yaw, t_true, bad = self._make(0.2)
+        R, t, yaw_est, rms, inl = gps_up.ransac_4dof(p_W, p_E, thresh=1.5)
+        # same tolerance as the clean case (the VERDICT done-criterion)
+        assert abs(yaw_est - yaw) < 0.02, yaw_est
+        assert np.linalg.norm(t - t_true) < 0.5, t
+        assert not inl[bad].any(), "outlier fixes entered the consensus set"
+        # Horn alone is visibly pulled off by the corruption
+        _, t_h, yaw_h, _ = gps_up.horn_4dof(p_W, p_E)
+        assert (abs(yaw_h - yaw) > 0.02
+                or np.linalg.norm(t_h - t_true) > 0.5)
+
+
 @pytest.mark.slow
 def test_e2e_gps_bounded_drift():
     """VIO + GPS in a yawed/offset ENU frame: init must align and the final
