@@ -121,17 +121,24 @@ def detect_segments(img, grid: int = 16, n_anchors: int = 256,
 
 
 def merge_segments(segs, lengths, valid, min_length=25.0, ang_tol=0.08,
-                   dist_tol=3.0):
-    """Host-side greedy collinear NMS over the fixed candidate set.
+                   dist_tol=3.0, extend: bool = True):
+    """Host-side greedy collinear clustering over the fixed candidate set.
 
-    Keeps the longest segment of each collinear cluster (MergeLines
-    semantics).  Returns (segs (K,4) np.ndarray).
+    Round-3: clusters are actually MERGED (reference `MergeLines`,
+    TrackLSD.cpp:450-622 — angle/dist clustering then endpoint-extension):
+    the longest member anchors the direction, and every clustered fragment's
+    endpoints are projected onto it, extending the kept segment to the
+    cluster's longitudinal span — long structural lines no longer fragment
+    (round-2 dropped the shorter collinear fragments instead).
+    `extend=False` restores keep-longest NMS.  Returns (segs (K,4)).
     """
     segs = np.asarray(segs, dtype=np.float64)
     lengths = np.asarray(lengths)
     valid = np.asarray(valid) & (lengths >= min_length)
     order = np.argsort(-lengths)
     kept: list[int] = []
+    # per kept index: (anchor point a, unit dir d, [t_min, t_max])
+    geo: dict[int, list] = {}
     for i in order:
         if not valid[i]:
             continue
@@ -141,27 +148,36 @@ def merge_segments(segs, lengths, valid, min_length=25.0, ang_tol=0.08,
         if L < 1e-6:
             continue
         d = d / L
-        n = np.array([-d[1], d[0]])
-        dup = False
+        merged = False
         for j in kept:
-            xa, ya, xb, yb = segs[j]
-            dj = np.array([xb - xa, yb - ya])
-            Lj = np.linalg.norm(dj)
-            dj = dj / max(Lj, 1e-6)
+            a_j, dj, span = geo[j]
             if abs(d @ dj) < np.cos(ang_tol):
                 continue
-            mid = np.array([(x1 + x2) / 2 - xa, (y1 + y2) / 2 - ya])
+            mid = np.array([(x1 + x2) / 2, (y1 + y2) / 2]) - a_j
             nj = np.array([-dj[1], dj[0]])
             if abs(mid @ nj) > dist_tol:
                 continue
-            # collinear: check longitudinal overlap/closeness
-            t1 = (np.array([x1 - xa, y1 - ya]) @ dj)
-            t2 = (np.array([x2 - xa, y2 - ya]) @ dj)
+            # collinear: check longitudinal overlap/closeness vs the span
+            t1 = (np.array([x1, y1]) - a_j) @ dj
+            t2 = (np.array([x2, y2]) - a_j) @ dj
             lo, hi = min(t1, t2), max(t1, t2)
-            if hi < -10.0 or lo > Lj + 10.0:
+            if hi < span[0] - 10.0 or lo > span[1] + 10.0:
                 continue
-            dup = True
+            if extend:
+                span[0] = min(span[0], lo)
+                span[1] = max(span[1], hi)
+            merged = True
             break
-        if not dup:
+        if not merged:
             kept.append(i)
-    return segs[kept] if kept else np.zeros((0, 4))
+            a = segs[i, :2].copy()
+            geo[i] = [a, d, [0.0, L]]
+    if not kept:
+        return np.zeros((0, 4))
+    out = np.zeros((len(kept), 4))
+    for r, j in enumerate(kept):
+        a, dj, span = geo[j]
+        p1 = a + span[0] * dj
+        p2 = a + span[1] * dj
+        out[r] = [p1[0], p1[1], p2[0], p2[1]]
+    return out

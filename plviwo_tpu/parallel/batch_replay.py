@@ -368,13 +368,22 @@ def main(argv=None):
         scal = []
         d = 1
         while d <= nd:
-            scal.append(measure(d))
+            scal.append({"devices": d, "fps": round(float(measure(d)), 1)})
             d *= 2
-        base = scal[0]["fps"] / scal[0]["devices"]
+        base = scal[0]["fps"]
         for row in scal:
-            row["efficiency"] = round(
-                row["fps"] / row["devices"] / base, 3)
-        report["scaling"] = scal
+            # On FORCED-HOST virtual devices all shards share one CPU's
+            # silicon, so total fps staying ~flat as devices grow is the
+            # healthy signature (compute conserved, sharding overhead
+            # bounded); per-device "efficiency" is only meaningful on real
+            # multi-chip hardware.  total_vs_1dev = fps_N / fps_1.
+            row["total_vs_1dev"] = round(row["fps"] / base, 3)
+        report["scaling"] = {
+            "note": ("virtual host devices (one CPU): total fps should stay "
+                     "~flat with device count; real-chip efficiency needs "
+                     "multi-chip hardware (unavailable in this environment)"),
+            "rows": scal,
+        }
     print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as f:

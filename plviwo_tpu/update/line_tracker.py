@@ -22,13 +22,20 @@ from .lines import assign_points_to_lines
 
 class LineTracker:
     def __init__(self, max_lines=40, min_length=25.0, attach_dist=5.0,
-                 midpoint_gate=10.0, grid=16, n_anchors=256):
+                 midpoint_gate=10.0, grid=16, n_anchors=256,
+                 merge_extend=False):
         self.max_lines = max_lines
         self.min_length = min_length
         self.attach_dist = attach_dist
         self.midpoint_gate = midpoint_gate
         self.grid = grid
         self.n_anchors = n_anchors
+        # merge_extend=True joins collinear fragments into their union span
+        # (full MergeLines, TrackLSD.cpp:450-622); the reference SHIPS with
+        # MergeLines bypassed, and extended endpoints localize worse
+        # (measured +0.15 m ATE on the image-driven sim), so keep-longest
+        # NMS is the default here too
+        self.merge_extend = merge_extend
         self.prev: list[dict] = []  # [{lid, seg, pids}]
         self._next_id = 0
 
@@ -43,7 +50,8 @@ class LineTracker:
             n_anchors=self.n_anchors,
         )
         segs = line_detect.merge_segments(segs_raw, lengths, valid,
-                                          min_length=self.min_length)
+                                          min_length=self.min_length,
+                                          extend=self.merge_extend)
         if len(segs) == 0:
             self.prev = []
             return np.zeros(0, dtype=np.int64), np.zeros((0, 4)), []

@@ -145,6 +145,7 @@ def test_corner_order_stable_under_rotation(det):
         prev = out
 
 
+@pytest.mark.slow
 def test_sim_ground_tags_detected_and_world_consistent():
     """End-to-end front-end loop: tags painted on the sim ground plane
     (perspective raycast render, nadir camera) must be detected, decoded,

@@ -56,8 +56,10 @@ def test_joint_matches_sequential_to_second_order():
     assert dcov < 1e-5, dcov
 
 
-def _live_replay(joint: bool):
-    """Short lines+wheel live replay with small shapes; returns (rmse, stats)."""
+def _live_replay(joint: bool, slam: int = 0, gps: bool = False):
+    """Short lines+wheel live replay with small shapes; returns (rmse, stats,
+    system).  slam/gps extend the parity check to the SLAM-landmark and GPS
+    paths (round-3 VERDICT item 2)."""
     from plviwo_tpu.config.options import EstimatorOptions
     from plviwo_tpu.core.system import VioSystem
     from plviwo_tpu.ops import lie
@@ -75,7 +77,12 @@ def _live_replay(joint: bool):
     opts.cam.chi2_mult = 5.0
     opts.cam.use_lines = True
     opts.cam.max_lines = 6
+    opts.cam.max_slam = slam
     opts.wheel.enabled = True
+    if gps:
+        opts.gps.enabled = True
+        opts.gps.noise = 0.5
+        opts.gps.init_distance = 3.0
     sys_ = VioSystem(opts)
     sys_.set_calibration(cfg.intrinsics, cfg.cam_ext_q, cfg.cam_ext_p)
     sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
@@ -90,6 +97,10 @@ def _live_replay(joint: bool):
     cam_ts = sim.cam_times()
     frames = iter(sorted(
         (float(t), sim.cam_frame(t), sim.line_frame(t)) for t in cam_ts))
+    gps_iter = iter(sorted(
+        (float(t), sim.gps_sample(t)) for t in sim.gps_times())) if gps \
+        else iter([])
+    nxt_gps = next(gps_iter, None)
     nxt = next(frames, None)
     wi = 0
     for i in range(len(imu_t)):
@@ -100,10 +111,13 @@ def _live_replay(joint: bool):
             t_c, (ids, uvs), (lids, segs) = nxt
             sys_.feed_camera(t_c, ids, uvs, line_ids=lids, line_segs=segs)
             nxt = next(frames, None)
+        while nxt_gps is not None and nxt_gps[0] <= imu_t[i]:
+            sys_.feed_gps_enu(nxt_gps[0], nxt_gps[1])
+            nxt_gps = next(gps_iter, None)
         sys_.feed_imu(imu_t[i], imu_w[i], imu_a[i])
     errs = [np.linalg.norm(p - np.asarray(sim.gt_kin(t)["p_IinG"]))
             for t, _, p in sys_.traj]
-    return float(np.sqrt(np.mean(np.square(errs)))), dict(sys_.stats)
+    return float(np.sqrt(np.mean(np.square(errs)))), dict(sys_.stats), sys_
 
 
 @pytest.mark.slow
@@ -111,8 +125,8 @@ def test_live_joint_matches_sequential():
     """The live system's joint per-frame update (one compress + EKF update
     across cam/line/wheel rows) must track like the sequential per-sensor
     order: same accept counts within a few gates, comparable ATE."""
-    rmse_j, st_j = _live_replay(True)
-    rmse_s, st_s = _live_replay(False)
+    rmse_j, st_j, _ = _live_replay(True)
+    rmse_s, st_s, _ = _live_replay(False)
     assert st_j["wheel_accept"] > 0 and st_j["line_accept"] > 0
     assert rmse_j < 0.5 and rmse_s < 0.5, (rmse_j, rmse_s)
     # second-order relinearization differences only: ATEs stay close
@@ -120,3 +134,26 @@ def test_live_joint_matches_sequential():
         (rmse_j, rmse_s)
     for k in ("cam_accept", "line_accept", "wheel_accept"):
         assert abs(st_j[k] - st_s[k]) <= max(4, 0.25 * st_s[k]), (k, st_j, st_s)
+
+
+@pytest.mark.slow
+def test_live_joint_slam_gps_parity():
+    """SLAM landmarks + GPS through the joint path vs sequential (round-3
+    VERDICT item 2): both modes must initialize landmarks, align with GPS,
+    and land comparable ATE with the batched SLAM gate in play."""
+    import numpy as np
+
+    rmse_j, st_j, sys_j = _live_replay(True, slam=6, gps=True)
+    rmse_s, st_s, sys_s = _live_replay(False, slam=6, gps=True)
+    for sysx in (sys_j, sys_s):
+        assert int(np.asarray(sysx.state.slam_valid).sum()) > 0, \
+            "no SLAM landmarks initialized"
+        assert sysx.gps is not None and sysx.gps.initialized, \
+            "GPS 4-DoF alignment did not initialize"
+    # absolute bar is loose: the whole state is rotated into the GPS ENU
+    # frame by a 4-DoF alignment estimated from 0.5 m-noise fixes over a
+    # 3 m baseline, so the gt comparison includes alignment error (~0.6 m
+    # here); the check of interest is joint/sequential PARITY
+    assert rmse_j < 1.0 and rmse_s < 1.0, (rmse_j, rmse_s)
+    assert abs(rmse_j - rmse_s) < 0.2 * max(rmse_j, rmse_s) + 0.02, \
+        (rmse_j, rmse_s)

@@ -33,6 +33,19 @@ def test_enu_geodetic_roundtrip():
 
 
 @pytest.fixture(scope="module")
+def kaist_fixture_small(tmp_path_factory):
+    """Cheap fixture for the fast parsing/precedence tests (4 s, 12 frames,
+    quarter-size images — rendering dominates fixture cost)."""
+    root = str(tmp_path_factory.mktemp("kaist_urban_small"))
+    cfg = SimConfig(duration=7.0, n_landmarks=150, n_lines=20,
+                    width=320, height=240, seed=5)
+    sim = Simulator(cfg)
+    man = generate_kaist_fixture(root, sim, t_start=1.0, duration=4.0,
+                                 cam_hz=3.0)
+    return root, sim, man
+
+
+@pytest.fixture(scope="module")
 def kaist_fixture(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("kaist_urban_synth"))
     cfg = SimConfig(duration=16.0, n_landmarks=350, n_lines=40,
@@ -43,9 +56,9 @@ def kaist_fixture(tmp_path_factory):
     return root, sim, man
 
 
-def test_fixture_layout_parses(kaist_fixture):
+def test_fixture_layout_parses(kaist_fixture_small):
     """The reader must see the fixture exactly like the real dataset."""
-    root, sim, man = kaist_fixture
+    root, sim, man = kaist_fixture_small
     ds = KaistDataset(root)
     assert ds.has_imu and ds.has_encoder and ds.has_images
     assert ds.gps_file is not None
@@ -58,12 +71,12 @@ def test_fixture_layout_parses(kaist_fixture):
     # differentiation averages over the tick interval; compare loosely
     assert np.median(np.abs(rl - m1s)) < 0.2 * (np.abs(m1s).mean() + 0.1)
     gt_t, gt_p, gt_R = ds.ground_truth()
-    assert len(gt_t) > 50
+    assert len(gt_t) > 20
     # R orthonormal
     RtR = np.einsum("nij,nik->njk", gt_R, gt_R)
     assert np.abs(RtR - np.eye(3)).max() < 1e-6
     img = ds.image(ds.image_times()[0])
-    assert img.shape == (480, 640) and 0.0 <= img.min() <= img.max() <= 1.0
+    assert img.shape == (240, 320) and 0.0 <= img.min() <= img.max() <= 1.0
     assert ds.wheel_intr == pytest.approx([0.3, 0.3, 1.5], abs=1e-6)
 
 
@@ -105,13 +118,13 @@ def _write_config(dirpath, cfg):
     return master
 
 
-def test_config_precedence_yaml_wins(kaist_fixture, tmp_path):
+def test_config_precedence_yaml_wins(kaist_fixture_small, tmp_path):
     """Round-2 bug regression: values the YAML sets must survive the KAIST
     driver's defaults (run_kaist clobbered sigma_pix/chi2_mult post-load)."""
     from plviwo_tpu.config.options import Options
     from plviwo_tpu.config.yaml_io import load_options
 
-    root, sim, _ = kaist_fixture
+    root, sim, _ = kaist_fixture_small
     master = _write_config(str(tmp_path), sim.cfg)
     base = Options()
     base.est.cam.sigma_pix = 9.9   # driver default, must lose to YAML's 1.5

@@ -74,6 +74,30 @@ class TestDetect:
         out = line_detect.merge_segments(segs, lens, valid, min_length=25.0)
         assert len(out) == 2
 
+    def test_merge_extends_endpoints(self):
+        """Round-3 MergeLines parity (TrackLSD.cpp:450-622): collinear
+        fragments JOIN into one long segment spanning the cluster, instead
+        of the shorter fragment being dropped."""
+        segs = jnp.asarray([
+            [10.0, 50.0, 120.0, 50.0],    # anchor (longest)
+            [115.0, 50.4, 220.0, 50.4],   # collinear continuation
+            [215.0, 49.7, 300.0, 49.7],   # chains onto the extended span
+        ])
+        lens = jnp.asarray([110.0, 105.0, 85.0])
+        valid = jnp.ones(3, dtype=bool)
+        out = line_detect.merge_segments(segs, lens, valid, min_length=25.0)
+        assert len(out) == 1
+        xs = sorted([out[0][0], out[0][2]])
+        assert xs[0] < 15.0 and xs[1] > 295.0, out  # full 10..300 span
+        # keep-longest mode: no span extension, so the far fragment cannot
+        # chain onto the first -> two survivors, neither extended
+        out_nms = line_detect.merge_segments(segs, lens, valid,
+                                             min_length=25.0, extend=False)
+        assert len(out_nms) == 2
+        for seg in out_nms:
+            xs = sorted([seg[0], seg[2]])
+            assert xs[1] - xs[0] < 115.0  # original fragment lengths
+
 
 @pytest.mark.slow
 def test_line_tracker_on_rendered_sequence():
