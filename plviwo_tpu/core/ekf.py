@@ -97,12 +97,21 @@ def whiten(H, r, R_full):
 
     Used by the wheel/GPS updates whose preintegration covariance is a dense
     kxk matrix (reference passes the dense R into EKFUpdate; here we whiten so
-    the masked diagonal-R fast path applies).
+    the masked diagonal-R fast path applies).  The k x k factorization and
+    substitution are UNROLLED straight-line code: XLA's blocked cholesky /
+    triangular_solve on a tiny emulated-f64 matrix costs far more than the
+    k column steps (see ops/linalg.chol_unrolled).
     """
-    L = jnp.linalg.cholesky(R_full)
-    Hw = jax.lax.linalg.triangular_solve(L, H, left_side=True, lower=True)
-    rw = jax.lax.linalg.triangular_solve(L, r[:, None], left_side=True, lower=True)[:, 0]
-    return Hw, rw
+    from ..ops.linalg import chol_unrolled
+
+    L = chol_unrolled(R_full)
+    n = L.shape[-1]
+    B = jnp.concatenate([H, r[:, None]], axis=1)
+    Y = jnp.zeros_like(B)
+    for j in range(n):
+        Yj = (B[j] - L[j, :j] @ Y[:j]) / L[j, j]
+        Y = Y.at[j].set(Yj)
+    return Y[:, :-1], Y[:, -1]
 
 
 def chi2(cov, H, r, r_diag, mask):

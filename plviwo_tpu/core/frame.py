@@ -466,7 +466,7 @@ def fused_frame(
     if use_wheel:
         Hw, rw, mw, wheel_accepted = _wheel_rows(
             state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
-            wheel_noise, chi2_mult, wheel_type)
+            wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
         H_all = jnp.concatenate([Hc1, Hc2, Hw], axis=0)
         r_all = jnp.concatenate([rc1, rc2, rw])
         mask_all = jnp.concatenate([m1, m2, mw])

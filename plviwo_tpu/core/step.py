@@ -264,17 +264,23 @@ def _line_msckf_update(
 
 def _wheel_rows(
     state: FilterState, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
-    wheel_noise, chi2_mult, wheel_type: int,
+    wheel_noise, chi2_mult, wheel_type: int, preint_dtype=F64,
 ):
     """Wheel slice of the fused step: 3D preintegration over the padded
     measurement stack between clones slot0 -> slot1, FEJ linear system,
     whitening, chi2 gate as a row mask (no host branch), one EKF update
     (device core of `VioSystem._wheel_update`; reference:
-    UpdaterWheel::try_update/update, UpdaterWheel.cpp:36-140)."""
+    UpdaterWheel::try_update/update, UpdaterWheel.cpp:36-140).
+
+    preint_dtype: internal precision of the preintegration (interval-local
+    math; f32 keeps ~1e-6 relative error and skips the emulated-f64 cost —
+    see preintegrate_3d).  The linear system / whitening stay f64 (they mix
+    world-scale clone positions)."""
     lo: StateLayout = state.layout
     nw, nv, npp = wheel_noise
     R_m, p_m, Cov, dR_di, dp_di = wheel_up.preintegrate_3d(
-        wheel_t, wheel_m1, wheel_m2, state.wheel_k, nw, nv, npp, wheel_type)
+        wheel_t, wheel_m1, wheel_m2, state.wheel_k, nw, nv, npp, wheel_type,
+        dtype=preint_dtype)
     H, res = wheel_up.linear_system_3d(
         state.clone_q, state.clone_p, state.clone_q_fej, state.clone_p_fej,
         slot0, slot1, state.wheel_q, state.wheel_p, R_m, p_m, dR_di, dp_di,
@@ -358,7 +364,7 @@ def fused_step_full(
         pallas_interpret=pallas_interpret)
     Hw, rw, mw, wheel_accepted = _wheel_rows(
         state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
-        wheel_noise, chi2_mult, wheel_type)
+        wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
 
     H_all = jnp.concatenate([Hc1, Hc2, Hw], axis=0)
     r_all = jnp.concatenate([rc1, rc2, rw])

@@ -86,6 +86,45 @@ def solve_psd(S, b):
     return x[..., 0] if squeeze else x
 
 
+def chol_unrolled(S):
+    """Straight-line batched Cholesky for SMALL static n.
+
+    XLA's `jnp.linalg.cholesky` on TPU runs a blocked sequential algorithm
+    that is ~4x slower on many small matrices (measured 13.7 vs 3.2 ms on
+    (2560, 40, 40) f32 — the MSCKF gate's shape).  Unrolling the n column
+    steps as straight-line batched VPU code removes that overhead; n is a
+    Python int so trace size stays bounded (gate systems are <= ~40 rows).
+    Masked/padded diagonals are clamped away from zero.
+    """
+    n = S.shape[-1]
+    L = jnp.zeros_like(S)
+    for j in range(n):
+        d2 = S[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        col = S[..., j:, j] - jnp.einsum(
+            "...ik,...k->...i", L[..., j:, :j], L[..., j, :j])
+        L = L.at[..., j:, j].set(col / d[..., None])
+    return L
+
+
+def forward_sub_unrolled(L, b):
+    """Unrolled forward substitution L y = b for small static n (batched)."""
+    n = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for j in range(n):
+        yj = (b[..., j] - jnp.sum(L[..., j, :j] * y[..., :j], axis=-1)) \
+            / L[..., j, j]
+        y = y.at[..., j].set(yj)
+    return y
+
+
+def chi2_quadform(S, r):
+    """r^T S^-1 r for SPD S via unrolled Cholesky + ONE forward substitution
+    (chi2 = ||L^-1 r||^2) — the gate-shaped fast path; see chol_unrolled."""
+    y = forward_sub_unrolled(chol_unrolled(S), r)
+    return jnp.sum(y * y, axis=-1)
+
+
 def inv_small(A):
     """General small-matrix inverse via QR + triangular solve (no LU)."""
     n = A.shape[-1]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import cam as cam_ops
 from ..ops import lie
-from ..ops.linalg import solve3x3, solve_psd
+from ..ops.linalg import chi2_quadform, solve3x3, solve_psd
 
 F64 = jnp.float64
 
@@ -470,7 +470,9 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
         Hv = Hn * m[:, None]
         rv = rn * m
         S = Hv @ cov @ Hv.T + s_unit * jnp.eye(Hv.shape[0], dtype=Hv.dtype)
-        chi = rv @ solve_psd(S, rv)
+        # unrolled-Cholesky quadratic form: XLA's batched small cholesky is
+        # ~4x slower on TPU (ops/linalg.chi2_quadform)
+        chi = chi2_quadform(S, rv)
         k = Hf_i.shape[1]  # nuisance dofs projected out (3 = point, 4 = line)
         dof = jnp.maximum(jnp.sum(mask_i) - k, 1)
         gate = chi2_table[jnp.clip(dof, 1, chi2_table.shape[0] - 1)] * chi2_mult

@@ -74,8 +74,9 @@ def wv_stack_np(m1, m2, intr, type_code: int):
     return W, V
 
 
-@partial(jax.jit, static_argnames=("type_code",))
-def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: int):
+@partial(jax.jit, static_argnames=("type_code", "dtype"))
+def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p,
+                    type_code: int, dtype=F64):
     """3D RK4 preintegration over a padded stack (reference: preintegration_3D,
     UpdaterWheel.cpp:648-774 + intrinsics :472-502).
 
@@ -89,12 +90,23 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     intrinsic-Jacobian recursions are affine maps composed by an associative
     scan, and the 6x6 (Phi, Q) noise chain folds with a binary tree
     reduction — log-depth batched math instead of an N-step sequential scan.
+
+    dtype: internal precision.  Everything here is LOCAL to one clone
+    interval (~0.1 s of relative motion), so no catastrophic cancellation of
+    world-scale values exists; f32 internals carry ~1e-6 relative error —
+    far below the wheel measurement noise — and avoid the TPU's emulated-f64
+    cost (measured: the wheel slice was 14 ms of the 69 ms fused step at
+    B=64 with f64 internals).  dts are formed from the (possibly absolute)
+    timestamps in f64 FIRST, then cast.  Outputs are returned in f64.
     """
-    rl, rr, b = intr[0], intr[1], intr[2]
     N = ts.shape[0] - 1
-    dts = ts[1:] - ts[:-1]
+    dts = (ts[1:] - ts[:-1]).astype(dtype)  # f64 subtract, then downcast
     pad = dts <= 0
     dt_safe = jnp.where(pad, 1.0, dts)
+    m1s = m1s.astype(dtype)
+    m2s = m2s.astype(dtype)
+    intr = intr.astype(dtype)
+    rl, rr, b = intr[0], intr[1], intr[2]
 
     w1s, v1s = _wv_from_meas(m1s[:-1], m2s[:-1], intr, type_code)
     w2s, v2s = _wv_from_meas(m1s[1:], m2s[1:], intr, type_code)
@@ -109,7 +121,7 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     def rk4_local(wh1, vh1, wh2, vh2, dt, dts_safe):
         w_alpha = (wh2 - wh1) / dts_safe
         v_jerk = (vh2 - vh1) / dts_safe
-        dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=F64)
+        dq_0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
 
         def qdot(dq, w):
             return 0.5 * (lie.omega(w) @ dq[:, None])[:, 0]
@@ -138,7 +150,7 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
 
     dqs, dp_l = jax.vmap(rk4_local)(w_hat1, v_hat1, w_hat2, v_hat2, dts,
                                     dt_safe)
-    id_q = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=F64)
+    id_q = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
     dqs = jnp.where(pad[:, None], id_q, dqs)
     dp_l = jnp.where(pad[:, None], 0.0, dp_l)
 
@@ -148,21 +160,21 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     Qpre = jax.lax.associative_scan(
         jax.vmap(lambda a, b: lie.quat_multiply(b, a)), dqs)
     R_end = jax.vmap(lie.quat_2_rot)(Qpre)          # (N,3,3) end-of-step
-    eye3 = jnp.eye(3, dtype=F64)
+    eye3 = jnp.eye(3, dtype=dtype)
     R_start = jnp.concatenate([eye3[None], R_end[:-1]], axis=0)
     RTs = jnp.swapaxes(R_start, -1, -2)             # R_start^T per step
 
     # positions: p_k = sum_j R_start_j^T dp_l_j
     dps = (RTs @ dp_l[..., None])[..., 0]
     ps = jnp.cumsum(dps, axis=0)
-    p_start = jnp.concatenate([jnp.zeros((1, 3), dtype=F64), ps[:-1]], axis=0)
+    p_start = jnp.concatenate([jnp.zeros((1, 3), dtype=dtype), ps[:-1]], axis=0)
 
     # --- intrinsic Jacobians: affine recursions composed associatively ---
-    Hwx = jnp.zeros((N, 3, 3), dtype=F64)
+    Hwx = jnp.zeros((N, 3, 3), dtype=dtype)
     Hwx = Hwx.at[:, 2, 0].set(-m1s[:-1] / b)
     Hwx = Hwx.at[:, 2, 1].set(m2s[:-1] / b)
     Hwx = Hwx.at[:, 2, 2].set(-w1s / b)
-    Hvx = jnp.zeros((N, 3, 3), dtype=F64)
+    Hvx = jnp.zeros((N, 3, 3), dtype=dtype)
     Hvx = Hvx.at[:, 0, 0].set(m1s[:-1] / 2.0)
     Hvx = Hvx.at[:, 0, 1].set(m2s[:-1] / 2.0)
     u_steps = -w_hat1 * dts[:, None]
@@ -179,7 +191,7 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     A_pre, b_pre = jax.lax.associative_scan(compose, (A, bvec))
     dR_di = b_pre[-1]
     dR_start = jnp.concatenate(
-        [jnp.zeros((1, 3, 3), dtype=F64), b_pre[:-1]], axis=0)
+        [jnp.zeros((1, 3, 3), dtype=dtype), b_pre[:-1]], axis=0)
 
     skew_vdt = jax.vmap(lie.skew)(v_hat1 * dts[:, None])
     dp_terms = -RTs @ skew_vdt @ dR_start + RTs @ Hvx * dts[:, None, None]
@@ -189,28 +201,28 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     # --- noise covariance: per-step (Phi, Q) folded by a tree reduction ---
     if type_code == W3D_ANG:
         qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
-                           noise_w**2, noise_p**2, noise_p**2], dtype=F64)
+                           noise_w**2, noise_p**2, noise_p**2], dtype=dtype)
     elif type_code == W3D_LIN:
         qdiag = jnp.array([noise_v**2 / b**2, noise_p**2, noise_p**2,
-                           noise_v**2 / 4.0, noise_p**2, noise_p**2], dtype=F64)
+                           noise_v**2 / 4.0, noise_p**2, noise_p**2], dtype=dtype)
     else:
         qdiag = jnp.array([noise_w**2, noise_p**2, noise_p**2,
-                           noise_v**2, noise_p**2, noise_p**2], dtype=F64)
+                           noise_v**2, noise_p**2, noise_p**2], dtype=dtype)
     p_end_steps = ps
     dloc = jnp.swapaxes(R_start, -1, -2) @ (p_end_steps - p_start)[..., None]
-    Phi_tr = jnp.zeros((N, 6, 6), dtype=F64)
+    Phi_tr = jnp.zeros((N, 6, 6), dtype=dtype)
     Phi_tr = Phi_tr.at[:, 0:3, 0:3].set(R_end @ jnp.swapaxes(R_start, -1, -2))
     Phi_tr = Phi_tr.at[:, 3:6, 0:3].set(
         -jnp.swapaxes(R_start, -1, -2) @ jax.vmap(lie.skew)(dloc[..., 0]))
     Phi_tr = Phi_tr.at[:, 3:6, 3:6].set(eye3)
-    Phi_ns = jnp.zeros((N, 6, 6), dtype=F64)
+    Phi_ns = jnp.zeros((N, 6, 6), dtype=dtype)
     Phi_ns = Phi_ns.at[:, 0:3, 0:3].set(
         dts[:, None, None] * jnp.broadcast_to(eye3, (N, 3, 3)))
     Phi_ns = Phi_ns.at[:, 3:6, 3:6].set(
         jnp.swapaxes(R_start, -1, -2) * dts[:, None, None])
     Qd = Phi_ns @ (qdiag[None, :, None] / dt_safe[:, None, None]
                    * jnp.swapaxes(Phi_ns, -1, -2))
-    eye6 = jnp.eye(6, dtype=F64)
+    eye6 = jnp.eye(6, dtype=dtype)
     Phi_tr = jnp.where(pad[:, None, None], eye6, Phi_tr)
     Qd = jnp.where(pad[:, None, None], 0.0, Qd)
 
@@ -220,7 +232,7 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
     Fs = jnp.concatenate(
         [Phi_tr, jnp.broadcast_to(eye6, (n_pad - N, 6, 6))], axis=0)
     Qs = jnp.concatenate(
-        [Qd, jnp.zeros((n_pad - N, 6, 6), dtype=F64)], axis=0)
+        [Qd, jnp.zeros((n_pad - N, 6, 6), dtype=dtype)], axis=0)
     while Fs.shape[0] > 1:
         F1, F2 = Fs[0::2], Fs[1::2]
         Q1, Q2 = Qs[0::2], Qs[1::2]
@@ -229,7 +241,8 @@ def preintegrate_3d(ts, m1s, m2s, intr, noise_w, noise_v, noise_p, type_code: in
         Qs = 0.5 * (Qc + jnp.swapaxes(Qc, -1, -2))
     Cov = Qs[0]
 
-    return R_end[-1], ps[-1], Cov, dR_di, dp_di
+    return (R_end[-1].astype(F64), ps[-1].astype(F64), Cov.astype(F64),
+            dR_di.astype(F64), dp_di.astype(F64))
 
 
 @partial(jax.jit, static_argnames=("n_clones", "clone_off", "D", "wheel_ext_off",

@@ -70,10 +70,14 @@ def main():
     sigmas = (cfg.sigma_w, cfg.sigma_a, cfg.sigma_wb, cfg.sigma_ab)
     wheel_noise = (0.05, 0.05, 0.02)
 
-    n_pre = 6  # prerendered frames, cycled
+    # contiguous real sequence: warmup + timed frames all distinct (cycling
+    # with synthetic time shifts breaks scene/state consistency and gates
+    # out every measurement row)
+    n_pre = 6
+    n_iter = args.n_iter
     frames, imus, wheels, t_news = [], [], [], []
     t_prev = t0
-    for i in range(n_pre):
+    for i in range(n_pre + n_iter):
         t = t0 + 0.1 * (i + 1)
         # device-resident: do NOT re-upload 1.2 MB per timed call through
         # the relay (that was ~half the measured time)
@@ -83,7 +87,7 @@ def main():
                           for x in _imu_window(imu_t, imu_w, imu_a, t_prev, t)))
         wheels.append(tuple(jax.device_put(x)
                             for x in _wheel_window(sim, t_prev, t)))
-        t_news.append(t)
+        t_news.append(jax.device_put(jnp.asarray(t, F64)))
         t_prev = t
 
     def one_seq(state, ts, img, it, iw, ia, t_new, wt, wm1, wm2):
@@ -108,8 +112,8 @@ def main():
     for i in range(n_pre):
         it, iw, ia = imus[i]
         wt, wm1, wm2 = wheels[i]
-        bstate, bts, m = step(bstate, bts, jnp.asarray(frames[i]),
-                              it, iw, ia, jnp.asarray(t_news[i], F64),
+        bstate, bts, m = step(bstate, bts, frames[i],
+                              it, iw, ia, t_news[i],
                               wt, wm1, wm2)
     jax.block_until_ready(bstate.p)
     compile_s = time.perf_counter() - t_compile0
@@ -119,29 +123,18 @@ def main():
     wheel_acc = int(jnp.sum(m["wheel_accepted"]))
     assert tracked > 0, "tracker lost everything"
 
-    # timed: cycle the prerendered frames with advancing timestamps (the
-    # filter clock must move forward; reuse window stats from frame i%n_pre).
-    # ALL shifted inputs are staged on device BEFORE the loop — per-call
-    # argument arithmetic adds relay dispatch latency that is not the step.
-    n_iter = args.n_iter
-    staged = []
-    for j in range(n_iter):
-        i = j % n_pre
-        it, iw, ia = imus[i]
-        wt, wm1, wm2 = wheels[i]
-        dt_shift = (j + 1) * 0.1 + (t_news[i] - t_news[-1])
-        staged.append((frames[i], jax.device_put(it + dt_shift), iw, ia,
-                       jax.device_put(jnp.asarray(t_news[i] + dt_shift, F64)),
-                       jax.device_put(wt + dt_shift), wm1, wm2))
-    jax.block_until_ready(staged[-1][1])
+    # timed: the next n_iter frames of the same contiguous sequence
+    accs = []
     t1 = time.perf_counter()
-    for j in range(n_iter):
-        img_j, it, iw, ia, tn, wt, wm1, wm2 = staged[j]
-        bstate, bts, m = step(bstate, bts, img_j, it, iw, ia, tn,
+    for j in range(n_pre, n_pre + n_iter):
+        it, iw, ia = imus[j]
+        wt, wm1, wm2 = wheels[j]
+        bstate, bts, m = step(bstate, bts, frames[j], it, iw, ia, t_news[j],
                               wt, wm1, wm2)
+        accs.append(jnp.sum(m["accepted"]))
     jax.block_until_ready(bstate.p)
     wall = time.perf_counter() - t1
-    accepted_total = int(jnp.sum(m["accepted"]))
+    accepted_total = int(sum(int(a) for a in accs))
 
     fps = B * n_iter / wall
     print(json.dumps({
