@@ -215,20 +215,34 @@ def main():
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    # Each unit is fault-isolated: a failure in one must never lose the
+    # other's JSON line (round 3 lost its whole BENCH artifact to an
+    # images-in assert).  A failed unit is reported in the JSON instead.
+    errors = {}
     filt = None
     if mode in ("both", "filter"):
         note("filter-only unit: compiling + running ...")
         t0 = time.perf_counter()
-        filt = bench_filter_only()
-        note(f"filter-only done in {time.perf_counter() - t0:.0f}s: "
-             f"{filt['fps']:.1f} fps")
+        try:
+            filt = bench_filter_only()
+            note(f"filter-only done in {time.perf_counter() - t0:.0f}s: "
+                 f"{filt['fps']:.1f} fps")
+        except Exception as e:  # noqa: BLE001 - must still emit JSON
+            errors["filter_only"] = f"{type(e).__name__}: {e}"
+            note(f"filter-only unit FAILED: {errors['filter_only']}")
     imgs = None
     if mode in ("both", "images"):
         note("images-in unit: rendering + compiling + running ...")
         t0 = time.perf_counter()
-        imgs = bench_images_in()
-        note(f"images-in done in {time.perf_counter() - t0:.0f}s: "
-             f"{imgs['fps']:.1f} fps")
+        try:
+            imgs = bench_images_in()
+            note(f"images-in done in {time.perf_counter() - t0:.0f}s: "
+                 f"{imgs['fps']:.1f} fps")
+        except Exception as e:  # noqa: BLE001
+            errors["images_in"] = f"{type(e).__name__}: {e}"
+            note(f"images-in unit FAILED: {errors['images_in']}")
+    if filt is None and imgs is None:
+        raise SystemExit(f"all bench units failed: {errors}")
 
     if imgs is not None:
         out = {
@@ -257,6 +271,8 @@ def main():
             "vs_baseline": round(filt["fps"] / (FILTER_REFERENCE_FPS
                                                 * TARGET_MULT), 3),
         }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

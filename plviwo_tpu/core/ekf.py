@@ -66,9 +66,11 @@ def ekf_update(cov, H, r, r_diag, mask):
     Returns:
       (dx (D,), new_cov (D, D)).
     """
-    m = mask.astype(cov.dtype)
-    Hm = H * m[:, None]
-    rm = r * m
+    # select (not multiply) so a NaN in a masked-off row cannot poison the
+    # update: NaN * 0 = NaN, where(mask, NaN, 0) = 0.  Rejected rows may
+    # legitimately carry NaN (e.g. f32 triangulation of gated-out garbage).
+    Hm = jnp.where(mask[:, None], H, 0.0)
+    rm = jnp.where(mask, r, 0.0)
     Rm = jnp.where(mask, r_diag, 1.0)
 
     # heavy D^3-class products run as double-f32 split GEMMs (dmatmul):
@@ -121,9 +123,8 @@ def chi2(cov, H, r, r_diag, mask):
     """
     from ..ops.linalg import dmatmul, solve_psd_refined
 
-    m = mask.astype(cov.dtype)
-    Hm = H * m[:, None]
-    rm = r * m
+    Hm = jnp.where(mask[:, None], H, 0.0)  # select, not multiply: NaN-safe
+    rm = jnp.where(mask, r, 0.0)
     Rm = jnp.where(mask, r_diag, 1.0)
     S = dmatmul(dmatmul(Hm, cov), Hm.T) + jnp.diag(Rm)
     S = 0.5 * (S + S.T)
@@ -328,8 +329,8 @@ def measurement_compress(H, r, mask):
     """
     from ..ops.linalg import chol_equilibrated, dmatmul, tri_lower_solve_refined
 
-    Hm = H * mask[:, None].astype(H.dtype)
-    rm = r * mask.astype(r.dtype)
+    Hm = jnp.where(mask[:, None], H, 0.0)  # select, not multiply: NaN-safe
+    rm = jnp.where(mask, r, 0.0)
     M, D = Hm.shape
     if M <= D:
         return Hm, rm, mask

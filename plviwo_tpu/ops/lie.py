@@ -160,13 +160,22 @@ def _cancel_cut(dtype):
 
 
 def exp_so3(w):
-    """so(3) exponential: (...,3) -> (...,3,3), branch-free small-angle safe."""
+    """so(3) exponential: (...,3) -> (...,3,3), branch-free small-angle safe.
+
+    The Taylor branches extend to `_cancel_cut` (NOT just the th ~ 1e-7
+    NaN-safety clamp): second-order jacfwd of sin(th)/th-class ratios emits
+    NaN in a band just above a narrow cutoff (measured th in [1.1e-7, 4.7e-7]
+    at f64 — the round-3 images-in bench NaN'd through exactly this, via the
+    B-spline simulator's jacfwd^2 acceleration).  A 3-term polynomial branch
+    is exact under autodiff and accurate to ~1e-15 (f64, th < 1e-3) /
+    ~1e-7 (f32, th < 0.3) relative."""
     th2, th, small = _theta2_safe(w)
-    # sin(th)/th and (1-cos th)/th^2 with Taylor fallbacks; 1-cos is written
-    # as 2 sin^2(th/2) which is exact and cancellation-free in every dtype
-    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    smallc = th2 < _cancel_cut(w.dtype)
+    a = jnp.where(smallc, 1.0 - th2 / 6.0 + th2 * th2 / 120.0,
+                  jnp.sin(th) / th)
     s2 = jnp.sin(th / 2.0)
-    b = jnp.where(small, 0.5 - th2 / 24.0, 2.0 * s2 * s2 / (th * th))
+    b = jnp.where(smallc, 0.5 - th2 / 24.0 + th2 * th2 / 720.0,
+                  2.0 * s2 * s2 / (th * th))
     sk = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), sk.shape)
     return eye + a[..., None, None] * sk + b[..., None, None] * (sk @ sk)
@@ -194,7 +203,11 @@ def jl_so3(w):
     th2, th, small = _theta2_safe(w)
     sk = skew(w)
     s2 = jnp.sin(th / 2.0)
-    a = jnp.where(small, 0.5 - th2 / 24.0, 2.0 * s2 * s2 / (th * th))
+    # wide Taylor branch: see exp_so3 (second-order autodiff NaN band just
+    # above a narrow cutoff)
+    smalla = th2 < _cancel_cut(w.dtype)
+    a = jnp.where(smalla, 0.5 - th2 / 24.0 + th2 * th2 / 720.0,
+                  2.0 * s2 * s2 / (th * th))
     smallb = th2 < _cancel_cut(w.dtype)
     b = jnp.where(
         smallb, 1.0 / 6.0 - th2 / 120.0 + th2 * th2 / 5040.0,

@@ -448,19 +448,21 @@ def msckf_project_and_gate(Hx, Hf, r, rowmask, cov, sigma2, chi2_table, chi2_mul
     per_row = hasattr(sigma2, "ndim") and getattr(sigma2, "ndim", 0) == 2
 
     def one(Hx_i, Hf_i, r_i, mask_i, s2_i):
-        mf = mask_i.astype(Hx_i.dtype)
+        # select (not multiply) masked rows away FIRST: rejected/padded rows
+        # may carry NaN (f32 triangulation garbage) and NaN * 0 = NaN
+        Hx_i = jnp.where(mask_i[:, None], Hx_i, 0.0)
+        Hf_i = jnp.where(mask_i[:, None], Hf_i, 0.0)
+        r_i = jnp.where(mask_i, r_i, 0.0)
         if per_row:
             # whiten rows so the projected system has unit noise
-            w = 1.0 / jnp.sqrt(jnp.maximum(s2_i, 1e-12))
+            w = 1.0 / jnp.sqrt(jnp.maximum(jnp.where(mask_i, s2_i, 1.0), 1e-12))
             Hx_i = Hx_i * w[:, None]
             Hf_i = Hf_i * w[:, None]
             r_i = r_i * w
             s_unit = 1.0
         else:
             s_unit = sigma2
-        Hx_m = Hx_i * mf[:, None]
-        Hf_m = Hf_i * mf[:, None]
-        r_m = r_i * mf
+        Hx_m, Hf_m, r_m = Hx_i, Hf_i, r_i
         Hn, rn, valid = _nullspace(Hf_m, Hx_m, r_m)
         # `valid` marks the M-k complement rows; padded original rows were
         # zeroed before the QR, so their information content is zero rows in

@@ -325,3 +325,39 @@ def test_propagate_matches_sequential_rk4_random_rotations():
     assert float(jnp.linalg.norm(q - qs)) < 1e-12
     assert float(jnp.linalg.norm(p - ps)) < 1e-12
     assert float(jnp.linalg.norm(v - vs)) < 1e-12
+
+
+def test_masked_nan_rows_cannot_poison_update():
+    """NaN in a masked-off measurement row must contribute nothing: the
+    update and the compression SELECT masked rows (jnp.where), they do not
+    multiply by the mask (NaN * 0 = NaN).  Regression for the round-3
+    images-in bench: f32 triangulation garbage in gated-out rows NaN'd the
+    covariance through measurement_compress."""
+    st = fresh_state()
+    D = st.layout.dim
+    key = jax.random.PRNGKey(7)
+    H = jax.random.normal(key, (2 * D + 3, D), dtype=jnp.float64)
+    r = jax.random.normal(jax.random.PRNGKey(8), (2 * D + 3,), dtype=jnp.float64)
+    H = H.at[0].set(jnp.nan).at[5].set(jnp.inf)
+    r = r.at[0].set(jnp.nan).at[7].set(-jnp.inf)
+    mask = jnp.ones(2 * D + 3, dtype=bool)
+    mask = mask.at[0].set(False).at[5].set(False).at[7].set(False)
+    r_diag = jnp.full(2 * D + 3, 0.01, dtype=jnp.float64)
+
+    # compression is NaN-free
+    Hc, rc, cmask = ekf.measurement_compress(H, r, mask)
+    assert bool(jnp.all(jnp.isfinite(jnp.where(cmask[:, None], Hc, 0.0))))
+    assert bool(jnp.all(jnp.isfinite(jnp.where(cmask, rc, 0.0))))
+
+    # direct masked update is NaN-free and equals the NaN-scrubbed update
+    dx, cov = ekf.ekf_update(st.cov, H, r, r_diag, mask)
+    assert bool(jnp.all(jnp.isfinite(dx))) and bool(jnp.all(jnp.isfinite(cov)))
+    H2 = jnp.where(mask[:, None], H, 0.0)
+    r2 = jnp.where(mask, r, 0.0)
+    dx2, cov2 = ekf.ekf_update(st.cov, H2, r2, r_diag, mask)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2), atol=0)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov2), atol=0)
+
+    # chi2 gate is NaN-free on the same system
+    chi = ekf.chi2(st.cov, H, r, r_diag, mask)
+    assert bool(jnp.isfinite(chi))

@@ -153,3 +153,63 @@ def test_jit_and_vmap():
     out = f(q)
     assert out.shape == (128, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_second_derivatives_finite_all_scales():
+    """jacfwd^2 of exp_so3/exp_se3/jl_so3 must be finite at EVERY angle.
+
+    Regression for the round-3 images-in bench NaN: with a narrow Taylor
+    cutoff (th2 < 1e-14), the exact-branch coefficient 2 sin^2(th/2)/th^2
+    emits NaN under second-order jacfwd in a band just above the cutoff
+    (measured th in [1.1e-7, 4.7e-7] at f64).  The B-spline simulator
+    differentiates the pose map twice (sim/bspline.py imu_true), so any NaN
+    here poisons the whole IMU stream.  The fix extends the polynomial
+    branch to the `_cancel_cut` threshold.
+    """
+    axis = jnp.asarray([0.3, -0.5, 0.81], dtype=jnp.float64)
+    axis = axis / jnp.linalg.norm(axis)
+    rho = jnp.asarray([0.02, 0.05, -0.01], dtype=jnp.float64)
+    ths = jnp.asarray(np.logspace(-12, 0.4, 80), dtype=jnp.float64)
+    ones = jnp.ones_like(ths)
+
+    def se3(b, th0):
+        return lie.exp_se3(b * jnp.concatenate([axis * th0, rho]))
+
+    def so3(b, th0):
+        return lie.exp_so3(b * axis * th0)
+
+    def jl(b, th0):
+        return lie.jl_so3(b * axis * th0)
+
+    for f in (se3, so3, jl):
+        dd = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(f)), in_axes=(0, 0)))
+        out = dd(ones, ths)
+        assert bool(jnp.all(jnp.isfinite(out))), f
+    # f32 too (wider cutoff): angles up to ~0.5 rad
+    ths32 = jnp.asarray(np.logspace(-7, -0.3, 40), dtype=jnp.float32)
+    axis32, rho32 = axis.astype(jnp.float32), rho.astype(jnp.float32)
+
+    def se3_32(b, th0):
+        return lie.exp_se3(b * jnp.concatenate([axis32 * th0, rho32]))
+
+    out32 = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(se3_32)), in_axes=(0, 0)))(
+        jnp.ones_like(ths32), ths32)
+    assert bool(jnp.all(jnp.isfinite(out32)))
+
+
+def test_exp_so3_taylor_branch_accuracy():
+    """The widened Taylor branch must agree with the exact form near the
+    cutoff to ~1e-12 (f64): compare against mpmath-free high-precision
+    reference computed at f64 via the exact trig at angles safely above
+    the cancellation zone, and series symmetry below."""
+    axis = jnp.asarray([1.0, 2.0, -0.5], dtype=jnp.float64)
+    axis = axis / jnp.linalg.norm(axis)
+    # across the f64 cutoff th = 1e-3: R(th) must be continuous
+    for th in (9.9e-4, 1.01e-3):
+        R = np.asarray(lie.exp_so3(axis * th))
+        # Rodrigues with np.float128-free double math (th is large enough
+        # that the closed form is accurate here)
+        sk = np.asarray(lie.skew(axis))
+        R_ref = (np.eye(3) + np.sin(th) * sk
+                 + (1.0 - np.cos(th)) * (sk @ sk))
+        np.testing.assert_allclose(R, R_ref, atol=1e-12)

@@ -130,3 +130,18 @@ def test_gps_sample_matches_gt():
         sim.cfg.gps_ext_p
     )
     np.testing.assert_allclose(p, expect, atol=1e-9)
+
+
+def test_imu_stream_finite():
+    """The whole IMU stream must be finite (regression: second-order jacfwd
+    NaN in exp_so3's trig ratios poisoned ~2.5% of accel samples — every
+    knot-adjacent evaluation — which then NaN'd the filter state in the
+    images-in benchmark's very first frame)."""
+    from plviwo_tpu.sim.simulator import SimConfig, Simulator
+
+    for dur, seed in ((6.0, 3), (10.0, 0)):
+        sim = Simulator(SimConfig(duration=dur, n_landmarks=10, n_lines=4,
+                                  seed=seed))
+        t, w, a = sim.imu_stream()
+        assert np.isfinite(np.asarray(w)).all(), (dur, seed)
+        assert np.isfinite(np.asarray(a)).all(), (dur, seed)
