@@ -411,7 +411,7 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "model", "window_size", "cam_dtype", "wheel_type", "use_pallas",
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
-    "use_wheel", "lk_conv"))
+    "use_wheel", "use_lines", "lk_conv"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -423,7 +423,7 @@ def fused_frame(
     levels: int = 3, half: int = 7, iters: int = 10,
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
-    use_wheel: bool = True, lk_conv: bool = True,
+    use_wheel: bool = True, use_lines: bool = True, lk_conv: bool = True,
 ):
     """One full PL-VIWO frame from PIXELS in one jit dispatch.
 
@@ -460,21 +460,28 @@ def fused_frame(
     Hc1, rc1, m1, metrics = _camera_msckf_rows(
         state, p_uv.astype(F64), p_uvn.astype(F64), p_slot, p_mask,
         sigma_pix, chi2_mult, model, cam_dtype, use_pallas=use_pallas)
-    Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
-        state, l_uv.astype(F64), l_uvn.astype(F64), l_slot, l_mask,
-        sigma_line, chi2_mult, cam_dtype=cam_dtype, use_pallas=use_pallas)
+    parts_H, parts_r, parts_m = [Hc1], [rc1], [m1]
+    if use_lines:
+        Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
+            state, l_uv.astype(F64), l_uvn.astype(F64), l_slot, l_mask,
+            sigma_line, chi2_mult, cam_dtype=cam_dtype, use_pallas=use_pallas)
+        parts_H.append(Hc2)
+        parts_r.append(rc2)
+        parts_m.append(m2)
+    else:
+        lines_accepted = jnp.array(0, dtype=jnp.int32)
     if use_wheel:
         Hw, rw, mw, wheel_accepted = _wheel_rows(
             state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
             wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
-        H_all = jnp.concatenate([Hc1, Hc2, Hw], axis=0)
-        r_all = jnp.concatenate([rc1, rc2, rw])
-        mask_all = jnp.concatenate([m1, m2, mw])
+        parts_H.append(Hw)
+        parts_r.append(rw)
+        parts_m.append(mw)
     else:
         wheel_accepted = jnp.array(0, dtype=jnp.int32)
-        H_all = jnp.concatenate([Hc1, Hc2], axis=0)
-        r_all = jnp.concatenate([rc1, rc2])
-        mask_all = jnp.concatenate([m1, m2])
+    H_all = jnp.concatenate(parts_H, axis=0)
+    r_all = jnp.concatenate(parts_r)
+    mask_all = jnp.concatenate(parts_m)
     Hj, rj, mj = ekf.measurement_compress(H_all, r_all, mask_all)
     state = ekf.update(state, Hj, rj, jnp.ones(rj.shape, dtype=F64), mj)
 
@@ -484,4 +491,5 @@ def fused_frame(
     metrics["tracked"] = jnp.sum(ts.valid)
     metrics["line_tracked"] = jnp.sum(ts.lvalid)
     metrics["harvested"] = jnp.sum(jnp.any(p_mask, axis=1))
+    metrics["line_harvested"] = jnp.sum(jnp.any(l_mask, axis=1))
     return state, ts, metrics

@@ -213,6 +213,8 @@ class VioSystem:
             self._try_init()
             return
         self._process_pending()
+        if getattr(self, "_pending_images", None):
+            self._process_pending_images()
         if self.zupt is not None and self.zupt.is_stationary(
                 self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
                 np.asarray(self.state.bg)):
@@ -299,6 +301,129 @@ class VioSystem:
             for fid, uv, uvn in zip(ids1, uvs1, uvns1):
                 self.fdb.update(int(fid), float(t), uv, uvn, cam=1)
         self.feed_camera(t, ids0, uvs0, line_ids, line_segs, line_pids)
+
+    def feed_image(self, t, img):
+        """One RAW camera frame: the unified images-in live path.
+
+        Drives the device-resident `core/frame.fused_frame` engine — hist-eq,
+        pyramid, conv-LK, RANSAC, re-detect, line detect/match, track
+        harvest, propagation, marginalization, clone, point/line/wheel rows
+        and ONE joint EKF update — as a single jit dispatch per frame
+        (round-2 VERDICT item 2 / round-3 STATUS gap 4: the live VioSystem
+        and the fused benchmark unit now share one engine).  Host work is
+        buffer assembly only (padded IMU/wheel windows).  GPS, when enabled,
+        remains its own dispatch at fix times (`feed_gps`).
+
+        Configs that need the per-track assembly path (dynamic cloning,
+        use_imu_res interpolation, SLAM slots, stereo, PLC) keep feeding
+        tracked features through `feed_camera`/`feed_stereo`; the engine
+        covers the standard PL-VIWO flow (points + lines + wheel).
+        Reference flow parity: feed image -> track -> try_update
+        (SystemManager.cpp:107-123 intended flow, SURVEY defect #2).
+        """
+        img = jnp.asarray(img, dtype=jnp.float32)
+        self._pending_images = getattr(self, "_pending_images", deque())
+        self._pending_images.append((float(t), jax.device_put(img)))
+        if self.initialized:
+            self._process_pending_images()
+
+    def _process_pending_images(self):
+        from .frame import fused_frame, make_track_state
+
+        op = self.opts
+        while getattr(self, "_pending_images", None):
+            t, img = self._pending_images[0]
+            if t <= float(self.state.time):
+                self._pending_images.popleft()
+                continue
+            if self.imu_buf.newest < t:
+                return  # wait for IMU coverage
+            self._pending_images.popleft()
+            if getattr(self, "track_state", None) is None:
+                H, W = img.shape[:2]
+                self.track_state = make_track_state(
+                    H, W, n_pts=max(op.cam.n_pts, 32),
+                    max_lines=max(op.cam.max_lines, 8), max_obs=8)
+            sel = self.imu_buf.select(float(self.state.time), t,
+                                      pad_to=IMU_PAD)
+            if sel is None:
+                sel = self.imu_buf.select(float(self.state.time), t,
+                                          pad_to=IMU_PAD * 4)
+            if sel is None:
+                # IMU gap (e.g. right after init): bridge with the chunked
+                # propagator, then land the frame on the covered remainder
+                self._propagate_to(t - 0.005)
+                sel = self.imu_buf.select(float(self.state.time), t,
+                                          pad_to=IMU_PAD)
+                if sel is None:
+                    continue  # unservable frame
+            it, iw, ia = (jnp.asarray(x) for x in sel)
+            # wheel window spans [newest existing clone, t] = fused_frame's
+            # preintegration interval (slot0 -> the new clone)
+            wheel_pad = 32
+            wsel = None
+            if op.wheel.enabled and self._last_frame_t is not None:
+                wsel = self.wheel_buf.select(self._last_frame_t, t,
+                                             pad_to=wheel_pad)
+            if wsel is not None:
+                wt, wm1, wm2 = (jnp.asarray(x) for x in wsel)
+                wvalid = jnp.asarray(True)
+            else:
+                wt = jnp.full((wheel_pad,), t, dtype=F64)
+                wm1 = jnp.zeros((wheel_pad,))
+                wm2 = jnp.zeros((wheel_pad,))
+                wvalid = jnp.asarray(False)
+            tc = self.tc
+            tc.ding("frame")
+            self.state, self.track_state, m = fused_frame(
+                self.state, self.track_state, img,
+                it, iw, ia, jnp.asarray(t, F64), wt, wm1, wm2, wvalid,
+                self.gravity, self.sigmas,
+                max(op.cam.sigma_pix, 1e-3), op.cam.chi2_mult,
+                op.cam.sigma_pix_line, (op.wheel.noise_w, op.wheel.noise_v,
+                                        op.wheel.noise_p),
+                model=self.distortion_model, window_size=op.window_size,
+                cam_dtype=jnp.float32, wheel_type=self.wheel_type,
+                min_track=max(op.cam.min_track_length, 3),
+                grid_x=op.cam.grid_x, grid_y=op.cam.grid_y,
+                min_px_dist=op.cam.min_px_dist,
+                use_wheel=op.wheel.enabled, use_lines=op.cam.use_lines)
+            ms_frame = 1e3 * tc.dong("frame")
+            self.frame_timing = {"frame": ms_frame}
+            # ONE host transfer for the frame's telemetry
+            mh = jax.device_get(m)
+            acc, harv = int(mh["accepted"]), int(mh["harvested"])
+            self.stats["cam_accept"] += acc
+            self.stats["cam_reject"] += max(harv - acc, 0)
+            lacc = int(mh["lines_accepted"])
+            lharv = int(mh["line_harvested"])
+            self.stats["line_accept"] += lacc
+            self.stats["line_reject"] += max(lharv - lacc, 0)
+            wacc = int(mh["wheel_accepted"])
+            self.stats["wheel_accept"] += wacc
+            if bool(wvalid) and not wacc:
+                self.stats["wheel_reject"] += 1
+            self.stats["clones"] += 1
+            self.stats["updates"] += 1
+            self._last_frame_t = t
+            self._record_pose()
+            if self.viz is not None:
+                uv = np.asarray(self.track_state.uv)
+                ok = np.asarray(self.track_state.valid)
+                segs = np.asarray(self.track_state.lseg)
+                lok = np.asarray(self.track_state.lvalid)
+                self.viz.add_overlay(t, np.asarray(img), uv[ok], None,
+                                     segs[lok] if lok.any() else None)
+            if self.gps is not None:
+                was_init = self.gps.initialized
+                self.gps.try_process(self)
+                if self.gps.initialized and not was_init:
+                    self.state = self.state.replace(
+                        clone_keyframe=jnp.zeros_like(
+                            self.state.clone_keyframe))
+            self.imu_buf.prune(t - op.window_size - 0.5)
+            if op.wheel.enabled:
+                self.wheel_buf.prune(t - op.window_size - 0.5)
 
     def feed_gps(self, t, lat, lon, alt):
         """One geodetic GNSS fix (reference: feed_measurement_gps,

@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
+    ap.add_argument("--host-tracker", action="store_true",
+                    help="with --images: use the host-orchestrated trackers "
+                         "instead of the default one-dispatch fused_frame "
+                         "engine (feed_image); implied by --stereo/--tags")
     ap.add_argument("--perturb", type=float, default=0.0,
                     help="perturb installed calibration (ext m/rad scale) — "
                          "the reference's sim_do_perturb consistency check")
@@ -163,7 +167,20 @@ def main(argv=None):
                              sim.bg_true[0], sim.ba_true[0])
 
     cam_ts = sim.cam_times()
-    if args.images:
+    feed_images = args.images and not (args.stereo or args.tags
+                                       or args.host_tracker)
+    if feed_images:
+        # unified live path: raw frames through the device-resident
+        # fused_frame engine, ONE dispatch per frame (VioSystem.feed_image)
+        opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
+        opts.cam.chi2_mult = 8.0
+        opts.cam.n_pts = min(opts.cam.n_pts, 96)  # device tracker slots
+        opts.cam.max_lines = min(opts.cam.max_lines, 24)
+        if args.lines:
+            opts.cam.sigma_pix_line = 2.5
+        cam_iter = iter([(float(t), sim.render_frame(t, with_lines=args.lines))
+                         for t in cam_ts])
+    elif args.images:
         from .update.tracker import KltTracker, StereoKltTracker
 
         tracker_cls = StereoKltTracker if args.stereo else KltTracker
@@ -242,7 +259,9 @@ def main(argv=None):
             sys_.feed_wheel(*next_wheel)
             next_wheel = next(wheel_iter, None)
         while next_cam is not None and next_cam[0] <= imu_t[i]:
-            if args.stereo:
+            if feed_images:
+                sys_.feed_image(*next_cam)
+            elif args.stereo:
                 sys_.feed_stereo(*next_cam)
             else:
                 sys_.feed_camera(*next_cam)

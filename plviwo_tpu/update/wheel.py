@@ -493,7 +493,10 @@ class WheelBuffer:
                 (1 - lam) * self.m2[i] + lam * self.m2[j])
 
     def select(self, t0, t1, pad_to=None):
-        if len(self.t) < 2 or self.t[0] > t0 or self.t[-1] <= t1 or t1 <= t0:
+        # coverage: a sample landing EXACTLY on t1 suffices (strict <, like
+        # ImuBuffer.select) — the end boundary is taken directly, not
+        # interpolated, when t[i1] == t1
+        if len(self.t) < 2 or self.t[0] > t0 or self.t[-1] < t1 or t1 <= t0:
             return None
         ts, m1s, m2s = [t0], [], []
         i0 = int(np.searchsorted(self.t, t0, side="right") - 1)

@@ -65,12 +65,16 @@ def main():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n * 1000.0
 
-    # 1. equalize + pyramid
+    # 1. equalize + pyramid (quantile CDF = the fused path's variant)
     eq_pyr = jax.jit(jax.vmap(
         lambda im: tuple(image_ops.build_pyramid(
-            image_ops.hist_equalize(im), 3))))
+            image_ops.hist_equalize_quantile(im), 3))))
     ms = t_run(eq_pyr, img1)
-    print(f"equalize+pyramid                 {ms:8.2f} ms/batch (B={B})")
+    print(f"equalize(quantile)+pyramid       {ms:8.2f} ms/batch (B={B})")
+    pyr_only = jax.jit(jax.vmap(
+        lambda im: tuple(image_ops.build_pyramid(im, 3))))
+    ms = t_run(pyr_only, img1)
+    print(f"  - pyramid alone                {ms:8.2f} ms/batch")
     pyr0 = eq_pyr(img0)
     pyr1 = eq_pyr(img1)
 
