@@ -58,11 +58,17 @@ def detect_grid(img, occupied_uv, occupied_valid, grid_x: int, grid_y: int,
     ou = jnp.clip(occupied_uv[:, 0].astype(jnp.int32), 0, W - 1)
     ov = jnp.clip(occupied_uv[:, 1].astype(jnp.int32), 0, H - 1)
     occ = occ.at[ov, ou].max(m)
-    # dilate occupancy by min_px_dist via max pooling
+    # dilate occupancy by min_px_dist via max pooling — separably: a square
+    # max window factors exactly into a vertical then horizontal 1-D pass,
+    # (2k+1)+(2k+1) comparisons per pixel instead of (2k+1)^2
     k = int(min_px_dist)
     occ_f = jax.lax.reduce_window(
         occ.astype(F32), jnp.float32(0.0), jax.lax.max,
-        (2 * k + 1, 2 * k + 1), (1, 1), "SAME",
+        (2 * k + 1, 1), (1, 1), "SAME",
+    )
+    occ_f = jax.lax.reduce_window(
+        occ_f, jnp.float32(0.0), jax.lax.max,
+        (1, 2 * k + 1), (1, 1), "SAME",
     )
     score = jnp.where(occ_f > 0, -1.0, score)
 
@@ -312,24 +318,34 @@ def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
     return uv, err, good, inb
 
 
-@partial(jax.jit, static_argnames=("levels", "half", "iters", "drift"))
+@partial(jax.jit, static_argnames=("levels", "half", "iters", "drift",
+                                   "drift_fine"))
 def pyramidal_lk_conv(prev_pyr, next_pyr, uv_prev, valid, levels: int,
                       half: int = 7, iters: int = 10, max_err: float = 0.08,
-                      drift: int = 5):
+                      drift: int = 5, drift_fine: int = 2):
     """Gather-free `pyramidal_lk` (same contract; see `_lk_level_conv`).
 
     Features whose per-level motion exceeds the drift budget D relative to
     the coarse-level initialization are marked failed rather than chased —
     on tracking workloads those are the features the error gate rejects in
     the gather formulation too.
+
+    Drift budgets are per-level: the COARSEST level starts from a
+    zero-motion guess and must absorb the full inter-frame motion
+    (D = `drift` at 1/2^(levels-1) resolution), while finer levels start
+    from the coarser level's solution — already within a pixel or two at
+    their scale — so D = `drift_fine` suffices.  The shifted-MAC sampling
+    cost scales with (2D+3) taps per axis, so the fine (full-resolution)
+    levels, which dominate, run ~2x cheaper than a uniform budget.
     """
     scale = 2.0 ** (levels - 1)
     uv = uv_prev / scale
     ok = valid
     for l in range(levels - 1, -1, -1):
         uv_l_prev = uv_prev / (2.0**l)
+        D = drift if l == levels - 1 else drift_fine
         uv, err, good, inb = _lk_level_conv(prev_pyr[l], next_pyr[l],
-                                            uv_l_prev, uv, half, iters, drift)
+                                            uv_l_prev, uv, half, iters, D)
         ok = ok & inb & (good if l == 0 else True)
         if l > 0:
             uv = uv * 2.0
