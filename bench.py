@@ -199,6 +199,39 @@ def bench_images_in():
             "wheel": int(jnp.sum(m["wheel_accepted"]))}
 
 
+def _wait_for_chip(note, deadline_s: float = 1800.0, probe_timeout: float = 300.0):
+    """Block until the TPU is actually claimable (or the deadline passes).
+
+    The relay chip is an EXCLUSIVE claim; a benchmark started while another
+    process holds it spends ~25 min inside backend init and then fails with
+    UNAVAILABLE (this lost the round-4 validation run).  Probing in a
+    SUBPROCESS is safe: a probe that is still waiting for the claim holds
+    nothing, so killing it on timeout leaks nothing.  Returns True when a
+    probe successfully initialized the backend."""
+    import subprocess
+    import sys
+
+    code = "import jax; jax.devices(); print('ok')"
+    t0 = time.monotonic()
+    attempt = 0
+    while time.monotonic() - t0 < deadline_s:
+        attempt += 1
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if p.returncode == 0 and b"ok" in p.stdout:
+                if attempt > 1:
+                    note(f"chip claimable after {time.monotonic() - t0:.0f}s "
+                         f"({attempt} probes)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        note(f"chip busy (probe {attempt}); retrying ...")
+        time.sleep(30.0)
+    note(f"chip never claimable within {deadline_s:.0f}s")
+    return False
+
+
 def main():
     import jax
 
@@ -215,32 +248,38 @@ def main():
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    if os.environ.get("BENCH_WAIT_CHIP", "1") == "1":
+        _wait_for_chip(note)
+
     # Each unit is fault-isolated: a failure in one must never lose the
     # other's JSON line (round 3 lost its whole BENCH artifact to an
     # images-in assert).  A failed unit is reported in the JSON instead.
+    # An UNAVAILABLE backend (chip transiently held elsewhere) earns ONE
+    # retry after the claim probe succeeds again.
     errors = {}
-    filt = None
-    if mode in ("both", "filter"):
-        note("filter-only unit: compiling + running ...")
-        t0 = time.perf_counter()
-        try:
-            filt = bench_filter_only()
-            note(f"filter-only done in {time.perf_counter() - t0:.0f}s: "
-                 f"{filt['fps']:.1f} fps")
-        except Exception as e:  # noqa: BLE001 - must still emit JSON
-            errors["filter_only"] = f"{type(e).__name__}: {e}"
-            note(f"filter-only unit FAILED: {errors['filter_only']}")
-    imgs = None
-    if mode in ("both", "images"):
-        note("images-in unit: rendering + compiling + running ...")
-        t0 = time.perf_counter()
-        try:
-            imgs = bench_images_in()
-            note(f"images-in done in {time.perf_counter() - t0:.0f}s: "
-                 f"{imgs['fps']:.1f} fps")
-        except Exception as e:  # noqa: BLE001
-            errors["images_in"] = f"{type(e).__name__}: {e}"
-            note(f"images-in unit FAILED: {errors['images_in']}")
+
+    def run_unit(name, fn):
+        for attempt in (1, 2):
+            note(f"{name} unit: compiling + running ...")
+            t0 = time.perf_counter()
+            try:
+                out = fn()
+                note(f"{name} done in {time.perf_counter() - t0:.0f}s: "
+                     f"{out['fps']:.1f} fps")
+                errors.pop(name, None)
+                return out
+            except Exception as e:  # noqa: BLE001 - must still emit JSON
+                errors[name] = f"{type(e).__name__}: {e}"
+                note(f"{name} unit FAILED: {errors[name]}")
+                if attempt == 1 and "UNAVAILABLE" in str(e) and \
+                        _wait_for_chip(note, deadline_s=900.0):
+                    continue
+                return None
+
+    filt = run_unit("filter_only", bench_filter_only) \
+        if mode in ("both", "filter") else None
+    imgs = run_unit("images_in", bench_images_in) \
+        if mode in ("both", "images") else None
     if filt is None and imgs is None:
         raise SystemExit(f"all bench units failed: {errors}")
 
