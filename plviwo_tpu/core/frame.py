@@ -44,7 +44,7 @@ from ..update import wheel as wheel_up
 from . import ekf, propagator
 from .state import FilterState, newest_clone_slot
 from .step import (_auto_marginalize, _camera_msckf_rows, _line_msckf_rows,
-                   _wheel_rows)
+                   _rows_to_gram, _wheel_rows)
 
 F32 = jnp.float32
 F64 = jnp.float64
@@ -150,10 +150,14 @@ def _append_obs(hist_uv, hist_uvn, hist_t, hist_slot, n_obs, mask,
 
 def _segment_nms(segs, lengths, valid, min_length, ang_tol=0.10,
                  dist_tol=3.0, overlap_slack=10.0):
-    """One-shot collinear dominance NMS on device (replaces the host greedy
-    `merge_segments` in the fused path): segment i is kept iff no longer
-    segment j is collinear-overlapping with it.  O(A^2) masked pairwise
-    test — A is a few hundred, trivially small for the VPU."""
+    """One-shot collinear merge + dominance NMS on device (the fused path's
+    `MergeLines`, TrackLSD.cpp:450-622): segment i survives iff no longer
+    segment j is collinear-overlapping with it, and each SURVIVOR absorbs
+    its suppressed fragments by extending its endpoints to the cluster's
+    longitudinal span (projected onto the survivor's direction) — long
+    structural lines stay long instead of fragmenting.  O(A^2) masked
+    pairwise test — A is a few hundred, trivially small for the VPU.
+    Returns (merged segs (A, 4), keep (A,) bool, length (A,))."""
     d = segs[:, 2:] - segs[:, :2]
     L = jnp.linalg.norm(d, axis=-1)
     valid = valid & (L >= min_length)
@@ -178,7 +182,39 @@ def _segment_nms(segs, lengths, valid, min_length, ang_tol=0.10,
         (L[None, :] == L[:, None])
         & (jnp.arange(L.shape[0])[None, :] < jnp.arange(L.shape[0])[:, None]))
     suppressed = jnp.any(dup & better, axis=1)
-    return valid & ~suppressed, L
+    keep = valid & ~suppressed
+
+    # endpoint extension: keeper j absorbs every suppressed collinear
+    # fragment i (angle + perpendicular-distance agreement) whose projected
+    # span overlaps j's CURRENT span — iterated a fixed 3 passes so chains
+    # of fragments extend like the reference's greedy span growth
+    # (MergeLines walks candidates longest-first, growing the span as it
+    # merges).  All in j's (anchor a_j, direction d_j) frame.
+    A = segs.shape[0]
+    perp_ji = perp.T  # (j, i): mid_i perpendicular distance to line j
+    elig = (keep[:, None] & valid[None, :] & ~keep[None, :]
+            & (cosang > jnp.cos(ang_tol)) & (perp_ji < dist_tol))
+    elig = elig | (keep[:, None] & jnp.eye(A, dtype=bool))  # self
+    rel1 = segs[None, :, :2] - segs[:, None, :2]  # (j, i, 2): p1_i - a_j
+    rel2 = segs[None, :, 2:] - segs[:, None, :2]
+    t1 = jnp.einsum("jik,jk->ji", rel1, dn)
+    t2 = jnp.einsum("jik,jk->ji", rel2, dn)
+    t_lo = jnp.minimum(t1, t2)
+    t_hi = jnp.maximum(t1, t2)
+    span_lo = jnp.zeros_like(L)
+    span_hi = L
+    for _ in range(3):
+        member = (elig & (t_hi > span_lo[:, None] - overlap_slack)
+                  & (t_lo < span_hi[:, None] + overlap_slack))
+        span_lo = jnp.min(jnp.where(member, t_lo, jnp.inf), axis=1)
+        span_hi = jnp.max(jnp.where(member, t_hi, -jnp.inf), axis=1)
+        span_lo = jnp.where(jnp.isfinite(span_lo), span_lo, 0.0)
+        span_hi = jnp.where(jnp.isfinite(span_hi), span_hi, L)
+    p1 = segs[:, :2] + span_lo[:, None] * dn
+    p2 = segs[:, :2] + span_hi[:, None] * dn
+    merged = jnp.where(keep[:, None],
+                       jnp.concatenate([p1, p2], axis=-1), segs)
+    return merged, keep, jnp.where(keep, span_hi - span_lo, L)
 
 
 def _attach_points(segs, seg_valid, uv, pt_valid, max_dist=5.0,
@@ -298,9 +334,8 @@ def track_frame(
     # FLD on pyrDown, coords scaled x2)
     segs_h, lengths_h, cand_ok = line_ops.detect_segments(
         pyr[1], grid=line_grid, n_anchors=line_anchors, max_steps=line_steps)
-    segs_c = segs_h * 2.0
-    cand_keep, cand_len = _segment_nms(
-        segs_c, lengths_h * 2.0, cand_ok, min_line_length)
+    segs_c, cand_keep, cand_len = _segment_nms(
+        segs_h * 2.0, lengths_h * 2.0, cand_ok, min_line_length)
 
     # candidate <- point attachment (current frame point slots)
     cand_attach = _attach_points(segs_c, cand_keep, uv_all, valid_all)
@@ -456,33 +491,29 @@ def fused_frame(
     p_mask = p_mask & (jnp.sum(p_mask, axis=1) >= 3)[:, None]
     l_mask = l_mask & (jnp.sum(l_mask, axis=1) >= 3)[:, None]
 
-    # --- measurement rows at the common pre-update state ---
-    Hc1, rc1, m1, metrics = _camera_msckf_rows(
+    # --- measurement rows at the common pre-update state: per-sensor
+    # unit-noise Gram systems summed and factored ONCE (see fused_step_full)
+    G, c, _, metrics = _camera_msckf_rows(
         state, p_uv.astype(F64), p_uvn.astype(F64), p_slot, p_mask,
-        sigma_pix, chi2_mult, model, cam_dtype, use_pallas=use_pallas)
-    parts_H, parts_r, parts_m = [Hc1], [rc1], [m1]
+        sigma_pix, chi2_mult, model, cam_dtype, use_pallas=use_pallas,
+        as_gram=True)
     if use_lines:
-        Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
+        G2, c2, _, lines_accepted = _line_msckf_rows(
             state, l_uv.astype(F64), l_uvn.astype(F64), l_slot, l_mask,
-            sigma_line, chi2_mult, cam_dtype=cam_dtype, use_pallas=use_pallas)
-        parts_H.append(Hc2)
-        parts_r.append(rc2)
-        parts_m.append(m2)
+            sigma_line, chi2_mult, cam_dtype=cam_dtype, use_pallas=use_pallas,
+            as_gram=True)
+        G, c = G + G2, c + c2
     else:
         lines_accepted = jnp.array(0, dtype=jnp.int32)
     if use_wheel:
         Hw, rw, mw, wheel_accepted = _wheel_rows(
             state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
             wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
-        parts_H.append(Hw)
-        parts_r.append(rw)
-        parts_m.append(mw)
+        Gw, cw = _rows_to_gram(Hw, rw, mw, jnp.asarray(1.0, F64))
+        G, c = G + Gw, c + cw
     else:
         wheel_accepted = jnp.array(0, dtype=jnp.int32)
-    H_all = jnp.concatenate(parts_H, axis=0)
-    r_all = jnp.concatenate(parts_r)
-    mask_all = jnp.concatenate(parts_m)
-    Hj, rj, mj = ekf.measurement_compress(H_all, r_all, mask_all)
+    Hj, rj, mj = ekf.compress_from_gram(G, c)
     state = ekf.update(state, Hj, rj, jnp.ones(rj.shape, dtype=F64), mj)
 
     metrics = dict(metrics)

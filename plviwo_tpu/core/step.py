@@ -103,11 +103,13 @@ def fused_step(
 
 
 def _pallas_gram_rows(Hx, Hf, r, rowmask, cov, sigma, chi2_mult, resid_cap,
-                      interpret: bool):
+                      interpret: bool, as_gram: bool = False):
     """Route per-feature systems through the fused Pallas gate kernel
     (ops/msckf_kernel.py): whiten -> nullspace -> chi2 gate -> Gram, with
     the covariance VMEM-resident, then factor the Gram into compressed
-    unit-noise rows.  Returns (Hc (D,D) f64, rc, cmask, feat_ok, n_rows)."""
+    unit-noise rows.  Returns (Hc (D,D) f64, rc, cmask, feat_ok, n_rows) —
+    or the raw unit-noise Gram (G, c, None, feat_ok, n_rows) with
+    `as_gram` (the joint update sums per-sensor Grams and factors once)."""
     from ..ops.msckf_kernel import gram_gate_fused
 
     M = Hx.shape[1]
@@ -118,19 +120,42 @@ def _pallas_gram_rows(Hx, Hf, r, rowmask, cov, sigma, chi2_mult, resid_cap,
     G, c, feat_ok, _chi = gram_gate_fused(
         Hx, Hf, r, rowmask, w, cov.astype(f32), gate_vec,
         resid_cap, interpret=interpret)
-    Hc, rc, cmask = ekf.compress_from_gram(G.astype(F64), c.astype(F64))
     n_rows = jnp.sum(rowmask & feat_ok[:, None])
+    if as_gram:
+        return G.astype(F64), c.astype(F64), None, feat_ok, n_rows
+    Hc, rc, cmask = ekf.compress_from_gram(G.astype(F64), c.astype(F64))
     return Hc, rc, cmask, feat_ok, n_rows
+
+
+def _rows_to_gram(H, r, mask, sigma2):
+    """(G, c) of the unit-noise-whitened system from masked raw rows.
+
+    The joint multi-sensor update only needs SUMS of per-sensor Gram systems
+    (H^T H / sigma^2, H^T r / sigma^2): summing them and factoring ONCE is
+    information-identical to compress-each-then-concat-then-compress, and
+    saves two Cholesky factorizations plus the re-formation of a ~2D-row
+    Gram per frame.  Masked rows are selected (not multiplied) away first —
+    NaN-safe like ekf.measurement_compress."""
+    from ..ops.linalg import dmatmul
+
+    Hm = jnp.where(mask[:, None], H, 0.0)
+    rm = jnp.where(mask, r, 0.0)
+    G = dmatmul(Hm.T, Hm).astype(F64) / sigma2
+    c = dmatmul(Hm.T, rm[:, None])[:, 0].astype(F64) / sigma2
+    return G, c
 
 
 def _camera_msckf_rows(
     state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
     sigma_pix, chi2_mult, model: int, cam_dtype,
     use_pallas: bool = False, pallas_interpret: bool = False,
+    as_gram: bool = False,
 ):
     """The point-MSCKF slice of the fused step (triangulate -> systems ->
     nullspace+gate -> compress); returns a unit-noise-whitened compressed
-    system (Hc, rc, mask, metrics) for the frame's joint EKF update."""
+    system (Hc, rc, mask, metrics) for the frame's joint EKF update —
+    or, with `as_gram`, the unit-noise Gram pair (G, c, metrics) for the
+    summed one-factorization joint update."""
     lo: StateLayout = state.layout
     cd = cam_dtype
     cq = state.clone_q[obs_slot].astype(cd)
@@ -158,7 +183,7 @@ def _camera_msckf_rows(
         # 20 px becomes 20/sigma in whitened units
         Hc, rc, cmask, feat_ok, n_rows = _pallas_gram_rows(
             Hx, Hf, r, rowmask, state.cov, sigma, chi2_mult, 20.0 / sigma,
-            pallas_interpret)
+            pallas_interpret, as_gram=as_gram)
         metrics = {
             "accepted": jnp.sum(feat_ok),
             "rows": n_rows,
@@ -174,13 +199,17 @@ def _camera_msckf_rows(
     H_all = Hn.reshape(M, lo.dim)
     r_all = rn.reshape(M)
     mask_all = rowvalid.reshape(M)
-    Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
-    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
     metrics = {
         "accepted": jnp.sum(feat_ok),
         "rows": jnp.sum(mask_all),
         "avg_reproj": jnp.mean(jnp.where(ok, avg_err, 0.0)),
     }
+    if as_gram:
+        G, c = _rows_to_gram(H_all, r_all, mask_all,
+                             jnp.asarray(sigma2, dtype=F64))
+        return G, c, None, metrics
+    Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
+    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
     return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
 
 
@@ -200,6 +229,7 @@ def _line_msckf_rows(
     state: FilterState, line_uv, line_uvn, line_slot, line_valid,
     sigma_line, chi2_mult, cam_dtype=jnp.float64,
     use_pallas: bool = False, pallas_interpret: bool = False,
+    as_gram: bool = False,
 ):
     """Line slice of the fused step: two-plane Plücker triangulation ->
     2-rows-per-obs distance systems -> 4-dof nullspace + gate -> compress ->
@@ -235,7 +265,7 @@ def _line_msckf_rows(
         sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
         Hc, rc, cmask, line_ok, _n = _pallas_gram_rows(
             Hx, Hl, r, rowmask, state.cov, sigma, chi2_mult, 20.0 / sigma,
-            pallas_interpret)
+            pallas_interpret, as_gram=as_gram)
         return Hc, rc, cmask, jnp.sum(line_ok)
     chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
     Hn, rn, rowvalid, line_ok = cam_helper.msckf_project_and_gate(
@@ -243,6 +273,11 @@ def _line_msckf_rows(
         chi2_table, chi2_mult,
     )
     M = Hn.shape[0] * Hn.shape[1]
+    if as_gram:
+        G, c = _rows_to_gram(Hn.reshape(M, lo.dim), rn.reshape(M),
+                             rowvalid.reshape(M),
+                             jnp.asarray(sigma2, dtype=F64))
+        return G, c, None, jnp.sum(line_ok)
     Hc, rc, cmask = ekf.measurement_compress(
         Hn.reshape(M, lo.dim), rn.reshape(M), rowvalid.reshape(M))
     sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
@@ -350,26 +385,26 @@ def fused_step_full(
 
     # JOINT multi-sensor update (TPU-first design; the reference updates
     # sensor-by-sensor, UpdaterCamera then lines then wheel, re-linearizing
-    # between — here all whitened compressed rows are built at the same
-    # pre-update state and applied in ONE compress + EKF update, saving two
-    # full covariance rewrites per frame; differences vs sequential are
-    # second order in the per-frame correction and regression-tested).
-    Hc1, rc1, m1, metrics = _camera_msckf_rows(
+    # between — here all sensors' unit-noise Gram systems are built at the
+    # same pre-update state, SUMMED, and factored ONCE into compressed rows
+    # for one EKF update: information-identical to compress-each-then-
+    # concat-then-compress but with a single Cholesky and no ~2D-row Gram
+    # re-formation per frame; differences vs sequential are second order in
+    # the per-frame correction and regression-tested).
+    G1, c1, _, metrics = _camera_msckf_rows(
         state, obs_uv, obs_uvn, obs_slot, obs_valid, sigma_pix, chi2_mult,
         model, cam_dtype, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret)
-    Hc2, rc2, m2, lines_accepted = _line_msckf_rows(
+        pallas_interpret=pallas_interpret, as_gram=True)
+    G2, c2, _, lines_accepted = _line_msckf_rows(
         state, line_uv, line_uvn, line_slot, line_valid, sigma_line, chi2_mult,
         cam_dtype=cam_dtype, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, as_gram=True)
     Hw, rw, mw, wheel_accepted = _wheel_rows(
         state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
         wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
+    Gw, cw = _rows_to_gram(Hw, rw, mw, jnp.asarray(1.0, F64))
 
-    H_all = jnp.concatenate([Hc1, Hc2, Hw], axis=0)
-    r_all = jnp.concatenate([rc1, rc2, rw])
-    mask_all = jnp.concatenate([m1, m2, mw])
-    Hj, rj, mj = ekf.measurement_compress(H_all, r_all, mask_all)
+    Hj, rj, mj = ekf.compress_from_gram(G1 + G2 + Gw, c1 + c2 + cw)
     state = ekf.update(state, Hj, rj, jnp.ones(rj.shape, dtype=F64), mj)
 
     metrics = dict(metrics)

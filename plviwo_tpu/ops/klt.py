@@ -227,30 +227,37 @@ def pyramidal_lk(prev_pyr, next_pyr, uv_prev, valid, levels: int, half: int = 7,
 def _patch_sample(P, u_y, u_x, out_h: int, out_w: int, D: int):
     """Separable shifted-MAC bilinear window sample from per-feature patches.
 
-    P: (N, PS, PS) patches; u_y/u_x: (N,) window start offsets inside the
-    patch (continuous).  Returns (N, out_h, out_w) sampled at rows
-    u_y + r, cols u_x + c.  Exact bilinear wherever 0 <= u <= PS - out - 1.
+    P: (PS, PS, N) patches — FEATURE-TRAILING layout: the feature axis sits
+    in the TPU lane dimension (N is a multiple of 128 in practice), so every
+    tap is a perfectly lane-parallel VPU multiply-accumulate.  The earlier
+    (N, PS, PS) layout put the 29-wide patch axis in lanes (~25%
+    utilization after padding to 128).  u_y/u_x: (N,) window start offsets
+    inside the patch (continuous).  Returns (out_h, out_w, N) sampled at
+    rows u_y + r, cols u_x + c.  Exact bilinear wherever
+    0 <= u <= PS - out - 1.
     """
     KS = 2 * D + 3
     taps = jnp.arange(KS, dtype=P.dtype)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_y[:, None] - taps[None, :]))
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_x[:, None] - taps[None, :]))
-    PS = P.shape[-1]
-    A = jnp.zeros((P.shape[0], out_h, PS), dtype=P.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_y[None, :] - taps[:, None]))  # (KS, N)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_x[None, :] - taps[:, None]))
+    PS = P.shape[0]
+    N = P.shape[-1]
+    A = jnp.zeros((out_h, PS, N), dtype=P.dtype)
     for j in range(KS):
-        A = A + P[:, j : j + out_h, :] * wy[:, j, None, None]
-    out = jnp.zeros((P.shape[0], out_h, out_w), dtype=P.dtype)
+        A = A + P[j : j + out_h] * wy[j][None, None, :]
+    out = jnp.zeros((out_h, out_w, N), dtype=P.dtype)
     for i in range(KS):
-        out = out + A[:, :, i : i + out_w] * wx[:, i, None, None]
+        out = out + A[:, i : i + out_w, :] * wx[i][None, None, :]
     return out
 
 
 def _extract_patches(img, oy, ox, PS: int):
-    """(N,) integer origins -> (N, PS, PS) contiguous patches (block reads)."""
+    """(N,) integer origins -> (PS, PS, N) contiguous patches (block reads,
+    then ONE transpose into the feature-trailing lane layout)."""
     def one(y, x):
         return jax.lax.dynamic_slice(img, (y, x), (PS, PS))
 
-    return jax.vmap(one)(oy, ox)
+    return jnp.transpose(jax.vmap(one)(oy, ox), (1, 2, 0))
 
 
 def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
@@ -270,17 +277,17 @@ def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
                    Wd - PS)
     oyp = jnp.clip(gp[:, 1].astype(jnp.int32) - (half + 1) - (D + 1), 0,
                    H - PS)
-    Pp = _extract_patches(img_prev, oyp, oxp, PS)
+    Pp = _extract_patches(img_prev, oyp, oxp, PS)  # (PS, PS, N)
     # extended (W+2)^2 template at uv_prev - (half+1)
     uty = uv_prev[:, 1] - oyp.astype(f32) - (half + 1)
     utx = uv_prev[:, 0] - oxp.astype(f32) - (half + 1)
-    T_ext = _patch_sample(Pp, uty, utx, W + 2, W + 2, D)
-    T = T_ext[:, 1:-1, 1:-1]
-    Gx = 0.5 * (T_ext[:, 1:-1, 2:] - T_ext[:, 1:-1, :-2])
-    Gy = 0.5 * (T_ext[:, 2:, 1:-1] - T_ext[:, :-2, 1:-1])
-    a = jnp.sum(Gx * Gx, axis=(1, 2))
-    b_ = jnp.sum(Gx * Gy, axis=(1, 2))
-    c = jnp.sum(Gy * Gy, axis=(1, 2))
+    T_ext = _patch_sample(Pp, uty, utx, W + 2, W + 2, D)  # (W+2, W+2, N)
+    T = T_ext[1:-1, 1:-1, :]
+    Gx = 0.5 * (T_ext[1:-1, 2:, :] - T_ext[1:-1, :-2, :])
+    Gy = 0.5 * (T_ext[2:, 1:-1, :] - T_ext[:-2, 1:-1, :])
+    a = jnp.sum(Gx * Gx, axis=(0, 1))
+    b_ = jnp.sum(Gx * Gy, axis=(0, 1))
+    c = jnp.sum(Gy * Gy, axis=(0, 1))
     det = a * c - b_ * b_
     good = det > 1e-6
 
@@ -289,15 +296,15 @@ def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
     gg = jnp.floor(uv_guess)
     oxg = jnp.clip(gg[:, 0].astype(jnp.int32) - half - (D + 1), 0, Wd - PS)
     oyg = jnp.clip(gg[:, 1].astype(jnp.int32) - half - (D + 1), 0, H - PS)
-    Pn = _extract_patches(img_next, oyg, oxg, PS)
+    Pn = _extract_patches(img_next, oyg, oxg, PS)  # (PS, PS, N)
     og = jnp.stack([oxg, oyg], -1).astype(f32)
 
     def body(uv, _):
         u = uv - og - half  # window start offset inside the patch
         I = _patch_sample(Pn, u[:, 1], u[:, 0], W, W, D)
         e = I - T
-        bx = jnp.sum(Gx * e, axis=(1, 2))
-        by = jnp.sum(Gy * e, axis=(1, 2))
+        bx = jnp.sum(Gx * e, axis=(0, 1))
+        by = jnp.sum(Gy * e, axis=(0, 1))
         bad = det < 1e-8
         det_s = jnp.where(bad, 1.0, det)
         dx = jnp.where(bad, 0.0, (c * bx - b_ * by) / det_s)
@@ -310,7 +317,7 @@ def _lk_level_conv(img_prev, img_next, uv_prev, uv_guess, half: int,
     in_patch = ((u[:, 0] >= 0.0) & (u[:, 0] <= PS - W - 1)
                 & (u[:, 1] >= 0.0) & (u[:, 1] <= PS - W - 1))
     I = _patch_sample(Pn, u[:, 1], u[:, 0], W, W, D)
-    err = jnp.mean(jnp.abs(I - T), axis=(1, 2))
+    err = jnp.mean(jnp.abs(I - T), axis=(0, 1))
     inb = (
         (uv[:, 0] > half) & (uv[:, 0] < Wd - half - 1)
         & (uv[:, 1] > half) & (uv[:, 1] < H - half - 1)

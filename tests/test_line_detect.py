@@ -116,3 +116,45 @@ def test_line_tracker_on_rendered_sequence():
             persist += len(np.intersect1d(lids, prev_ids))
         prev_ids = lids
     assert persist >= 5, f"line ids do not persist (persist={persist})"
+
+
+class TestSegmentNms:
+    """Device-side collinear merge (`core/frame._segment_nms`): the fused
+    path's MergeLines analogue (TrackLSD.cpp:450-622) must EXTEND the kept
+    segment over its suppressed collinear fragments, not just drop them."""
+
+    def test_collinear_fragments_extend_keeper(self):
+        from plviwo_tpu.core.frame import _segment_nms
+
+        segs = jnp.asarray([
+            [10.0, 50.0, 110.0, 50.0],   # keeper (longest)
+            [100.0, 50.5, 160.0, 50.5],  # collinear fragment, overlaps end
+            [164.0, 50.0, 200.0, 50.0],  # collinear, within overlap slack
+            [10.0, 120.0, 80.0, 120.0],  # separate line, kept
+            [30.0, 49.0, 60.0, 49.0],    # interior fragment (absorbed)
+        ])
+        L = jnp.linalg.norm(segs[:, 2:] - segs[:, :2], axis=-1)
+        valid = jnp.ones(5, dtype=bool)
+        merged, keep, length = _segment_nms(segs, L, valid, 20.0)
+        keep = np.asarray(keep)
+        assert keep.tolist() == [True, False, False, True, False]
+        m0 = np.asarray(merged[0])
+        # extended over fragments 1, 2 and 4: span ~[10, 200] on y=50
+        assert m0[0] <= 10.5 and m0[2] >= 199.0, m0
+        assert abs(m0[1] - 50.0) < 1.5 and abs(m0[3] - 50.0) < 1.5
+        assert float(length[0]) > 185.0
+        # the separate line is untouched
+        assert np.allclose(np.asarray(merged[3]), np.asarray(segs[3]), atol=1e-5)
+
+    def test_no_duplicates_identity(self):
+        from plviwo_tpu.core.frame import _segment_nms
+
+        segs = jnp.asarray([
+            [10.0, 10.0, 80.0, 10.0],
+            [10.0, 100.0, 10.0, 180.0],
+            [200.0, 30.0, 260.0, 90.0],
+        ])
+        L = jnp.linalg.norm(segs[:, 2:] - segs[:, :2], axis=-1)
+        merged, keep, _ = _segment_nms(segs, L, jnp.ones(3, dtype=bool), 20.0)
+        assert bool(jnp.all(keep))
+        assert np.allclose(np.asarray(merged), np.asarray(segs), atol=1e-5)

@@ -116,8 +116,7 @@ def main():
     def lines_fn(im_half, u, v):
         segs, lens, okc = line_ops.detect_segments(
             im_half, grid=16, n_anchors=192, max_steps=96)
-        segs = segs * 2.0
-        keep, L = _segment_nms(segs, lens * 2.0, okc, 30.0)
+        segs, keep, L = _segment_nms(segs * 2.0, lens * 2.0, okc, 30.0)
         att = _attach_points(segs, keep, u, v)
         return segs, keep, att
 
