@@ -237,7 +237,8 @@ def _attach_points(segs, seg_valid, uv, pt_valid, max_dist=5.0,
 @partial(jax.jit, static_argnames=(
     "levels", "half", "iters", "grid_x", "grid_y", "min_px_dist",
     "min_track", "min_track_line", "cam_model", "line_grid",
-    "line_anchors", "line_steps", "min_line_length", "lk_conv"))
+    "line_anchors", "line_steps", "min_line_length", "lk_conv",
+    "line_runlen"))
 def track_frame(
     ts: TrackState, img, cam_k, t_new, slot_new,
     levels: int = 3, half: int = 7, iters: int = 10,
@@ -245,6 +246,7 @@ def track_frame(
     min_track: int = 4, min_track_line: int = 3, cam_model: int = 0,
     line_grid: int = 16, line_anchors: int = 192, line_steps: int = 96,
     min_line_length: float = 30.0, lk_conv: bool = True,
+    line_runlen: bool = False,
 ):
     """One tracked camera frame entirely on device.
 
@@ -332,7 +334,11 @@ def track_frame(
     # ================= lines =================
     # detect at half resolution like the reference (TrackLSD.cpp:194-236:
     # FLD on pyrDown, coords scaled x2)
-    segs_h, lengths_h, cand_ok = line_ops.detect_segments(
+    # line_runlen: gather-free pointer-doubling detector (A/B alternative to
+    # the sequential anchor walk; see ops/line_detect.detect_segments_runlen)
+    detect_fn = (line_ops.detect_segments_runlen if line_runlen
+                 else line_ops.detect_segments)
+    segs_h, lengths_h, cand_ok = detect_fn(
         pyr[1], grid=line_grid, n_anchors=line_anchors, max_steps=line_steps)
     segs_c, cand_keep, cand_len = _segment_nms(
         segs_h * 2.0, lengths_h * 2.0, cand_ok, min_line_length)
@@ -446,7 +452,7 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "model", "window_size", "cam_dtype", "wheel_type", "use_pallas",
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
-    "use_wheel", "use_lines", "lk_conv"))
+    "use_wheel", "use_lines", "lk_conv", "line_runlen"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -459,6 +465,7 @@ def fused_frame(
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
     use_wheel: bool = True, use_lines: bool = True, lk_conv: bool = True,
+    line_runlen: bool = False,
 ):
     """One full PL-VIWO frame from PIXELS in one jit dispatch.
 
@@ -482,7 +489,8 @@ def fused_frame(
         levels=levels, half=half, iters=iters, grid_x=grid_x, grid_y=grid_y,
         min_px_dist=min_px_dist, min_track=min_track,
         min_track_line=min_track_line, cam_model=model,
-        line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv)
+        line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv,
+        line_runlen=line_runlen)
 
     p_mask = _liveness(state, p_slot, p_t, p_mask)
     l_mask = _liveness(state, l_slot, l_t, l_mask)

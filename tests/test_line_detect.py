@@ -62,6 +62,39 @@ class TestDetect:
                     best = min(best, perp)
             assert best < 3.0, f"gt line {g} not detected"
 
+    def test_runlen_detector_matches_walk_on_synthetic(self):
+        """`detect_segments_runlen` (gather-free pointer-doubling) must find
+        the same structural lines as the anchor walk: every gt line at
+        >= 75% of its length with midpoint-perpendicular error < 4 px."""
+        gt = np.array([
+            [100.0, 100.0, 300.0, 120.0],   # 5.7 deg off-lattice
+            [400.0, 50.0, 420.0, 300.0],    # 4.6 deg off vertical
+            [150.0, 350.0, 350.0, 250.0],   # exactly on a lattice ray
+            [50.0, 430.0, 600.0, 460.0],    # long shallow diagonal
+            [500.0, 100.0, 560.0, 310.0],   # steep
+        ])
+        img = _line_image(480, 640, gt)
+        segs_raw, lens, valid = line_detect.detect_segments_runlen(
+            jnp.asarray(img))
+        segs = line_detect.merge_segments(segs_raw, lens, valid,
+                                          min_length=40.0)
+        for g in gt:
+            ga = _line_angle(g)
+            gl = np.linalg.norm(g[2:4] - g[0:2])
+            d = np.array([g[2] - g[0], g[3] - g[1]]) / gl
+            n = np.array([-d[1], d[0]])
+            best_len = 0.0
+            for s in segs:
+                da = abs((_line_angle(s) - ga + np.pi / 2) % np.pi
+                         - np.pi / 2)
+                mid = 0.5 * (s[0:2] + s[2:4])
+                perp = abs((mid - g[0:2]) @ n)
+                if da < 0.06 and perp < 4.0:
+                    best_len = max(best_len,
+                                   np.linalg.norm(s[2:4] - s[0:2]))
+            assert best_len >= 0.75 * gl, (
+                f"gt line {g}: best collinear len {best_len} < 0.75*{gl}")
+
     def test_merge_removes_duplicates(self):
         # two collinear overlapping candidates -> one kept
         segs = jnp.asarray([
