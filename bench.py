@@ -122,12 +122,20 @@ def bench_images_in():
     B = int(os.environ.get("BENCH_IMG_B", 64))
     W, H = 640, 480
     n_pts = int(os.environ.get("BENCH_IMG_PTS", 128))
-    max_lines = 24
+    max_lines = int(os.environ.get("BENCH_IMG_LINES", 24))
+    use_gps = os.environ.get("BENCH_IMG_GPS", "1") == "1"
+    # detection grid scales with capacity (one corner per cell; reference
+    # KAIST config: 1500 pts on a 15x15 grid with per-cell top-off,
+    # config_camera.yaml:11-21 — here cells >= slots)
+    grid_x = max(16, int(np.ceil(np.sqrt(n_pts * W / H))))
+    grid_y = max(12, int(np.ceil(n_pts / grid_x)))
+    line_runlen = os.environ.get("BENCH_IMG_RUNLEN", "1") == "1"
 
     cfg = SimConfig(duration=6.0, n_landmarks=350, n_lines=40,
                     width=W, height=H, seed=3)
     sim = Simulator(cfg)
-    layout = StateLayout(n_clones=14, n_cams=1, use_wheel=True)
+    layout = StateLayout(n_clones=14, n_cams=1, use_wheel=True,
+                         n_gps=1 if use_gps else 0)
     t0 = 1.0
     state0 = _seed_state(sim, layout, t0)
     ts0 = make_track_state(H, W, n_pts=n_pts, max_lines=max_lines, max_obs=8)
@@ -142,8 +150,17 @@ def bench_images_in():
     # must keep producing genuinely accepted measurements)
     n_pre = 6
     n_iter = 12
-    frames, imus, wheels, t_news = [], [], [], []
+    frames, imus, wheels, t_news, gpss = [], [], [], [], []
     t_prev = t0
+    # GPS: the KAIST reference runs GNSS in-loop (config_gps.yaml:4-16);
+    # here ~1 Hz fixes ride the fused joint update (3 rows/fix).  The bench
+    # world frame IS the ENU frame (post-4-DoF-init operation).
+    GPS_PAD = 4
+    state0 = state0.replace(
+        gps_p=state0.gps_p.at[0].set(jnp.asarray(cfg.gps_ext_p))
+    ) if use_gps and state0.gps_p.shape[0] > 0 else state0
+    gps_all = ([(float(t), sim.gps_sample(t)) for t in sim.gps_times()]
+               if use_gps else [])
     # Per-sequence pixel decorrelation: under vmap, an UNBATCHED image makes
     # XLA compute equalize/pyramid/detection ONCE for all B sequences — a
     # chip serving B camera streams pays those stages B times, so a shared
@@ -166,28 +183,42 @@ def bench_images_in():
         wheels.append(tuple(jax.device_put(x)
                             for x in _wheel_window(sim, t_prev, t)))
         t_news.append(jax.device_put(jnp.asarray(t, F64)))
+        gt = np.full((GPS_PAD,), t)
+        gp = np.zeros((GPS_PAD, 3))
+        gv = np.zeros((GPS_PAD,), dtype=bool)
+        for j, (ft, fp) in enumerate(
+                [f for f in gps_all if t_prev < f[0] <= t][:GPS_PAD]):
+            gt[j], gp[j], gv[j] = ft, fp, True
+        gpss.append((jax.device_put(jnp.asarray(gt, F64)),
+                     jax.device_put(jnp.asarray(gp)),
+                     jax.device_put(jnp.asarray(gv))))
         t_prev = t
 
-    def one_seq(state, ts, img, it, iw, ia, t_new, wt, wm1, wm2):
+    def one_seq(state, ts, img, it, iw, ia, t_new, wt, wm1, wm2, gt, gp, gv):
         return fused_frame(
             state, ts, img, it, iw, ia, t_new, wt, wm1, wm2,
             jnp.asarray(True), gravity, sigmas, 1.5, 8.0, 2.0, wheel_noise,
-            model=0, window_size=1.0, cam_dtype=jnp.float32, min_track=4)
+            model=0, window_size=1.0, cam_dtype=jnp.float32, min_track=4,
+            grid_x=grid_x, grid_y=grid_y, line_runlen=line_runlen,
+            use_gps=use_gps, gps_t=gt, gps_p=gp, gps_valid=gv,
+            sigma_gps=cfg.sigma_gps, gps_chi2_mult=8.0)
 
     step = jax.jit(jax.vmap(
         one_seq, in_axes=(0, 0, 0, None, None, None, None, None, None,
-                          None)))
+                          None, None, None, None)))
 
     bstate = jax.tree.map(lambda x: jnp.stack([x] * B), state0)
     bts = jax.tree.map(lambda x: jnp.stack([x] * B), ts0)
     bts = bts.replace(key=jax.vmap(jax.random.PRNGKey)(jnp.arange(B)))
 
+    gps_accs = []
     for i in range(n_pre):
         it, iw, ia = imus[i]
         wt, wm1, wm2 = wheels[i]
         bstate, bts, m = step(bstate, bts, frames[i],
                               it, iw, ia, t_news[i],
-                              wt, wm1, wm2)
+                              wt, wm1, wm2, *gpss[i])
+        gps_accs.append(jnp.sum(m["gps_accepted"]))
     jax.block_until_ready(bstate.p)
     tracked = int(jnp.sum(m["tracked"]))
     assert tracked > 0, "tracker lost everything"
@@ -198,15 +229,21 @@ def bench_images_in():
         it, iw, ia = imus[j]
         wt, wm1, wm2 = wheels[j]
         bstate, bts, m = step(bstate, bts, frames[j], it, iw, ia, t_news[j],
-                              wt, wm1, wm2)
+                              wt, wm1, wm2, *gpss[j])
         accs.append(jnp.sum(m["accepted"]))
+        gps_accs.append(jnp.sum(m["gps_accepted"]))
     jax.block_until_ready(bstate.p)
     wall = time.perf_counter() - t1
     acc_total = int(sum(int(a) for a in accs))
     assert acc_total > 0, "images-in bench accepted no features"
+    gps_total = int(sum(int(a) for a in gps_accs))
+    if use_gps:
+        assert gps_total > 0, "images-in bench accepted no GPS fixes"
     return {"fps": B * n_iter / wall, "B": B, "tracked": tracked,
+            "n_pts": n_pts, "grid": f"{grid_x}x{grid_y}",
+            "runlen": line_runlen,
             "lines": int(jnp.sum(m["line_tracked"])),
-            "accepted": acc_total,
+            "accepted": acc_total, "gps": gps_total,
             "wheel": int(jnp.sum(m["wheel_accepted"]))}
 
 
@@ -298,9 +335,12 @@ def main():
         out = {
             "metric": (
                 "images-in full PL-VIWO frames/s per chip (640x480 pixels -> "
-                "KLT+lines+wheel -> joint EKF update, one dispatch/frame, "
-                f"B={imgs['B']}, tracked={imgs['tracked']}, "
-                f"lines={imgs['lines']}, accepted={imgs['accepted']})"),
+                "KLT+lines+wheel+GPS -> joint EKF update, one dispatch/frame, "
+                f"B={imgs['B']}, n_pts={imgs['n_pts']}, "
+                f"grid={imgs['grid']}, runlen={imgs['runlen']}, "
+                f"tracked={imgs['tracked']}, lines={imgs['lines']}, "
+                f"accepted={imgs['accepted']}, gps={imgs['gps']}, "
+                f"wheel={imgs['wheel']})"),
             "value": round(imgs["fps"], 1),
             "unit": "frames/s",
             "vs_baseline": round(imgs["fps"] / (IMAGES_REFERENCE_FPS

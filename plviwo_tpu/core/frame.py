@@ -6,7 +6,10 @@ state and the `fused_frame` step that runs, in a single jitted dispatch:
 
   hist-equalize -> pyramid -> pyramidal LK -> RANSAC gate -> grid re-detect
   -> per-slot observation histories -> track harvest
-  -> line detect (anchor walk at half resolution) -> device NMS
+  -> line detect (gather-free run-length fields at half resolution;
+     round-5 default after the on-chip A/B: 10.0 vs 717.8 ms per B=64
+     batch at ATE parity — the sequential anchor walk remains available
+     via line_runlen=False) -> device NMS
   -> point attachment -> shared-point line matching (as a matmul)
   -> line observation histories -> line harvest
   -> IMU propagate -> marginalize -> clone -> point/line/wheel rows
@@ -43,8 +46,8 @@ from ..ops import line_detect as line_ops
 from ..update import wheel as wheel_up
 from . import ekf, propagator
 from .state import FilterState, newest_clone_slot
-from .step import (_auto_marginalize, _camera_msckf_rows, _line_msckf_rows,
-                   _rows_to_gram, _wheel_rows)
+from .step import (_auto_marginalize, _camera_msckf_rows, _gps_rows,
+                   _line_msckf_rows, _rows_to_gram, _wheel_rows)
 
 F32 = jnp.float32
 F64 = jnp.float64
@@ -246,7 +249,7 @@ def track_frame(
     min_track: int = 4, min_track_line: int = 3, cam_model: int = 0,
     line_grid: int = 16, line_anchors: int = 192, line_steps: int = 96,
     min_line_length: float = 30.0, lk_conv: bool = True,
-    line_runlen: bool = False,
+    line_runlen: bool = True,
 ):
     """One tracked camera frame entirely on device.
 
@@ -452,7 +455,8 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "model", "window_size", "cam_dtype", "wheel_type", "use_pallas",
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
-    "use_wheel", "use_lines", "lk_conv", "line_runlen"))
+    "use_wheel", "use_lines", "lk_conv", "line_runlen", "use_gps",
+    "use_dynamic"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -465,7 +469,10 @@ def fused_frame(
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
     use_wheel: bool = True, use_lines: bool = True, lk_conv: bool = True,
-    line_runlen: bool = False,
+    line_runlen: bool = True,
+    use_gps: bool = False, gps_t=None, gps_p=None, gps_valid=None,
+    sigma_gps: float = 3.0, gps_chi2_mult: float = 1.0,
+    use_dynamic: bool = False, do_clone=None,
 ):
     """One full PL-VIWO frame from PIXELS in one jit dispatch.
 
@@ -477,10 +484,27 @@ def fused_frame(
     # --- filter time update ---
     state = propagator.propagate(state, imu_t, imu_w, imu_a, t_new, gravity,
                                  sigmas)
-    state = _auto_marginalize(state, t_new, window_size)
-    slot0 = newest_clone_slot(state)
-    state = ekf.augment_clone(state)
-    slot1 = newest_clone_slot(state)
+    if use_dynamic:
+        # dynamic cloning (reference: SystemManager::dynamic_cloning,
+        # SystemManager.cpp:293-312): the host's rate policy decides per
+        # frame whether a clone lands here; non-clone frames still track
+        # and their point observations later update INTERPOLATED poses
+        # (see _camera_msckf_rows_interp).  Marginalize+clone under a mask
+        # — all shapes are fixed, so the no-clone branch is a tree-where.
+        state_m = _auto_marginalize(state, t_new, window_size)
+        slot0 = newest_clone_slot(state_m)
+        state_c = ekf.augment_clone(state_m)
+        slot1 = newest_clone_slot(state_c)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(do_clone, (1,) * a.ndim) if a.ndim else do_clone,
+                a, b),
+            state_c, state)
+    else:
+        state = _auto_marginalize(state, t_new, window_size)
+        slot0 = newest_clone_slot(state)
+        state = ekf.augment_clone(state)
+        slot1 = newest_clone_slot(state)
 
     # --- front-end (device) ---
     ts, (p_uv, p_uvn, p_slot, p_mask, p_t), (l_uv, l_uvn, l_slot, l_mask,
@@ -492,19 +516,32 @@ def fused_frame(
         line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv,
         line_runlen=line_runlen)
 
-    p_mask = _liveness(state, p_slot, p_t, p_mask)
+    if use_dynamic:
+        # points: obs resolved by TIME against the clone ring (bracketing +
+        # interpolation happen in the row builder); lines keep the
+        # slot-exact liveness, so line obs from non-clone frames drop out
+        p_mask = p_mask & (jnp.sum(p_mask, axis=1) >= 3)[:, None]
+    else:
+        p_mask = _liveness(state, p_slot, p_t, p_mask)
+        p_mask = p_mask & (jnp.sum(p_mask, axis=1) >= 3)[:, None]
     l_mask = _liveness(state, l_slot, l_t, l_mask)
     # tracks need >= 2 live obs to triangulate at all; the row builders mask
     # the rest
-    p_mask = p_mask & (jnp.sum(p_mask, axis=1) >= 3)[:, None]
     l_mask = l_mask & (jnp.sum(l_mask, axis=1) >= 3)[:, None]
 
     # --- measurement rows at the common pre-update state: per-sensor
     # unit-noise Gram systems summed and factored ONCE (see fused_step_full)
-    G, c, _, metrics = _camera_msckf_rows(
-        state, p_uv.astype(F64), p_uvn.astype(F64), p_slot, p_mask,
-        sigma_pix, chi2_mult, model, cam_dtype, use_pallas=use_pallas,
-        as_gram=True)
+    if use_dynamic:
+        from .step import _camera_msckf_rows_interp
+
+        G, c, _, metrics = _camera_msckf_rows_interp(
+            state, p_uv.astype(F64), p_uvn.astype(F64), p_t, p_mask,
+            sigma_pix, chi2_mult, model, cam_dtype, as_gram=True)
+    else:
+        G, c, _, metrics = _camera_msckf_rows(
+            state, p_uv.astype(F64), p_uvn.astype(F64), p_slot, p_mask,
+            sigma_pix, chi2_mult, model, cam_dtype, use_pallas=use_pallas,
+            as_gram=True)
     if use_lines:
         G2, c2, _, lines_accepted = _line_msckf_rows(
             state, l_uv.astype(F64), l_uvn.astype(F64), l_slot, l_mask,
@@ -514,19 +551,33 @@ def fused_frame(
     else:
         lines_accepted = jnp.array(0, dtype=jnp.int32)
     if use_wheel:
+        # dynamic mode: the wheel interval is clone-to-clone, so rows land
+        # only on clone frames (the host's window spans the full gap)
+        wv = (wheel_valid & do_clone) if use_dynamic else wheel_valid
         Hw, rw, mw, wheel_accepted = _wheel_rows(
-            state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wheel_valid,
+            state, slot0, slot1, wheel_t, wheel_m1, wheel_m2, wv,
             wheel_noise, chi2_mult, wheel_type, preint_dtype=cam_dtype)
         Gw, cw = _rows_to_gram(Hw, rw, mw, jnp.asarray(1.0, F64))
         G, c = G + Gw, c + cw
     else:
         wheel_accepted = jnp.array(0, dtype=jnp.int32)
+    if use_gps:
+        # 3 rows per fix — near-free under the Gram-sum joint update
+        # (reference: UpdaterGPS.cpp:165-270 runs these as their own EKF
+        # update per fix; KAIST config_gps.yaml:13 chi2_mult 9999)
+        Hg, rg, mg, gps_accepted = _gps_rows(
+            state, gps_t, gps_p, gps_valid, sigma_gps, gps_chi2_mult)
+        Gg, cg = _rows_to_gram(Hg, rg, mg, jnp.asarray(1.0, F64))
+        G, c = G + Gg, c + cg
+    else:
+        gps_accepted = jnp.array(0, dtype=jnp.int32)
     Hj, rj, mj = ekf.compress_from_gram(G, c)
     state = ekf.update(state, Hj, rj, jnp.ones(rj.shape, dtype=F64), mj)
 
     metrics = dict(metrics)
     metrics["lines_accepted"] = lines_accepted
     metrics["wheel_accepted"] = wheel_accepted
+    metrics["gps_accepted"] = gps_accepted
     metrics["tracked"] = jnp.sum(ts.valid)
     metrics["line_tracked"] = jnp.sum(ts.lvalid)
     metrics["harvested"] = jnp.sum(jnp.any(p_mask, axis=1))

@@ -213,6 +213,104 @@ def _camera_msckf_rows(
     return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
 
 
+def _bound_times(state: FilterState, ts):
+    """Bounding clone slots for arbitrary times over the clone ring.
+
+    ts: (...) f64.  Returns (slot0, slot1, lam, covered), each shaped like
+    `ts` — the newest clone <= t, the oldest clone >= t, the interpolation
+    fraction, and whether t is bracketed at all (the device analogue of
+    State::bounding_poses_n, State.cpp:1053-1136)."""
+    ct = state.clone_t
+    cv = state.clone_valid
+
+    def one(t):
+        le = cv & (ct <= t)
+        ge = cv & (ct >= t)
+        t_le = jnp.where(le, ct, -jnp.inf)
+        t_ge = jnp.where(ge, ct, jnp.inf)
+        s0 = jnp.argmax(t_le)
+        s1 = jnp.argmin(t_ge)
+        covered = jnp.any(le) & jnp.any(ge)
+        t0 = t_le[s0]
+        t1 = t_ge[s1]
+        lam = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
+        return s0.astype(jnp.int32), s1.astype(jnp.int32), lam, covered
+
+    flat = ts.reshape(-1)
+    s0, s1, lam, cov = jax.vmap(one)(flat)
+    return (s0.reshape(ts.shape), s1.reshape(ts.shape),
+            lam.reshape(ts.shape), cov.reshape(ts.shape))
+
+
+def _camera_msckf_rows_interp(
+    state: FilterState, obs_uv, obs_uvn, obs_t, obs_valid,
+    sigma_pix, chi2_mult, model: int, cam_dtype,
+    as_gram: bool = False,
+):
+    """Interpolated-pose variant of `_camera_msckf_rows` for dynamic cloning:
+    each observation's time is bracketed by clone ring slots at row-build
+    time, the measurement pose is the on-manifold linear interpolation, and
+    the FEJ Jacobians spread over BOTH bounding clones
+    (cam_helper.point_systems_interp_batch; reference:
+    State::get_interpolated_jacobian, State.cpp:833-973, consumed by
+    CamHelper::get_feature_jacobian_full, CamHelper.cpp:58-267).
+
+    obs_t: (F, O) f64 observation times (replaces obs_slot).  Observations
+    not bracketed by the current clone window are masked, mirroring the
+    reference's bounded-time requirement (State.cpp:1053-1136)."""
+    from ..core.interp import interpolate_pose_linear
+    from ..ops import lie
+
+    lo: StateLayout = state.layout
+    cd = cam_dtype
+    s0, s1, lam, cov = _bound_times(state, obs_t)
+    valid = obs_valid & cov
+
+    def pose_at(s0i, s1i, lm):
+        R_t, p_t = interpolate_pose_linear(
+            state.clone_q[s0i], state.clone_p[s0i],
+            state.clone_q[s1i], state.clone_p[s1i], lm)
+        return lie.rot_2_quat(R_t), p_t
+
+    q_t, p_t = jax.vmap(jax.vmap(pose_at))(s0, s1, lam)
+    p_f, ok, avg_err = cam_helper.triangulate_batch(
+        obs_uvn.astype(cd), q_t.astype(cd), p_t.astype(cd), valid,
+        state.cam_q[0].astype(cd), state.cam_p[0].astype(cd))
+    fx = state.cam_k[0, 0]
+    ok = ok & (avg_err < 3.0 / fx.astype(cd))
+
+    Hx, Hf, r, rowmask = cam_helper.point_systems_interp_batch(
+        p_f, obs_uv.astype(cd), s0, s1, lam.astype(cd), valid,
+        state.clone_q.astype(cd), state.clone_p.astype(cd),
+        state.clone_q_fej.astype(cd), state.clone_p_fej.astype(cd),
+        state.cam_q[0].astype(cd), state.cam_p[0].astype(cd),
+        state.cam_k[0].astype(cd),
+        model, lo.n_clones, lo.clone_off, lo.dim,
+    )
+    rowmask = rowmask & ok[:, None]
+    sigma2 = sigma_pix**2
+    chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
+    Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
+        Hx, Hf, r, rowmask, state.cov.astype(cd),
+        jnp.asarray(sigma2, dtype=cd), chi2_table, chi2_mult)
+    M = Hn.shape[0] * Hn.shape[1]
+    H_all = Hn.reshape(M, lo.dim)
+    r_all = rn.reshape(M)
+    mask_all = rowvalid.reshape(M)
+    metrics = {
+        "accepted": jnp.sum(feat_ok),
+        "rows": jnp.sum(mask_all),
+        "avg_reproj": jnp.mean(jnp.where(ok, avg_err, 0.0)),
+    }
+    if as_gram:
+        G, c = _rows_to_gram(H_all, r_all, mask_all,
+                             jnp.asarray(sigma2, dtype=F64))
+        return G, c, None, metrics
+    Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
+    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+    return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
+
+
 def _camera_msckf_update(
     state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
     sigma_pix, chi2_mult, model: int, cam_dtype,
@@ -333,6 +431,72 @@ def _wheel_rows(
     accept = (chi < chi2_table[6] * chi2_mult) & wheel_valid
     mask = mask & accept
     return Hw, rw, mask, accept.astype(jnp.int32)
+
+
+def _gps_rows(
+    state: FilterState, gps_t, gps_p, gps_valid, sigma_gps, chi2_mult,
+):
+    """GPS slice of the fused step: per-fix 3-row position systems at poses
+    linearly interpolated between each fix's bounding clones, chi2-gated,
+    returned as masked raw rows for the joint Gram update (reference:
+    UpdaterGPS::update, UpdaterGPS.cpp:165-270; the fused engine assumes the
+    world frame is already ENU-aligned — the 4-DoF delayed init stays a
+    host-side GpsUpdater dispatch, after which trans_WtoE is marginalized
+    and per-fix updates are plain position rows).
+
+    gps_t: (Ng,) f64 fix times; gps_p: (Ng, 3) ENU positions; gps_valid:
+    (Ng,) bool.  Returns (H (3Ng, D), r (3Ng,), mask (3Ng,), n_accept).
+    """
+    from ..update.gps import gps_linear_system
+
+    lo: StateLayout = state.layout
+    D = lo.dim
+    C = lo.n_clones
+    ext_p = state.gps_p[0] if lo.n_gps > 0 else jnp.zeros(3, dtype=F64)
+
+    ct = jnp.where(state.clone_valid, state.clone_t, jnp.inf)
+
+    def one_fix(t, p_meas, v):
+        # bounding clones: newest clone <= t and oldest clone >= t
+        le = state.clone_valid & (state.clone_t <= t)
+        ge = state.clone_valid & (state.clone_t >= t)
+        t_le = jnp.where(le, state.clone_t, -jnp.inf)
+        t_ge = jnp.where(ge, state.clone_t, jnp.inf)
+        slot0 = jnp.argmax(t_le)
+        slot1 = jnp.argmin(t_ge)
+        covered = jnp.any(le) & jnp.any(ge)
+        t0 = ct[slot0]
+        t1 = ct[slot1]
+        lam = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
+        H6, res = gps_linear_system(
+            state.clone_q, state.clone_p, state.clone_q_fej,
+            state.clone_p_fej, slot0, slot1, lam, ext_p, p_meas)
+        # scatter the two 6-col blocks into full-D rows BY ADDITION (slot0
+        # may equal slot1 when the fix lands on a clone time)
+        idx0 = lo.clone_off + 6 * slot0 + jnp.arange(6)
+        idx1 = lo.clone_off + 6 * slot1 + jnp.arange(6)
+        S0 = jax.nn.one_hot(idx0, D, dtype=F64)  # (6, D)
+        S1 = jax.nn.one_hot(idx1, D, dtype=F64)
+        H = H6[:, :6] @ S0 + H6[:, 6:] @ S1  # (3, D)
+        return H, res, v & covered
+
+    Hs, rs, oks = jax.vmap(one_fix)(gps_t, gps_p, gps_valid)  # (Ng,3,D)...
+    sigma = jnp.asarray(sigma_gps, dtype=F64)
+    Hw = Hs / sigma
+    rw = rs / sigma
+    ones3 = jnp.ones(3, dtype=F64)
+    chi2_table = jnp.asarray(_CHI2_NP)
+
+    def gate(H, r, v):
+        m = jnp.full((3,), True) & v
+        chi = ekf.chi2(state.cov, H, r, ones3, m)
+        return v & (chi < chi2_table[3] * chi2_mult)
+
+    accept = jax.vmap(gate)(Hw, rw, oks)
+    Ng = gps_t.shape[0]
+    mask = jnp.repeat(accept, 3)
+    return (Hw.reshape(3 * Ng, D), rw.reshape(3 * Ng), mask,
+            jnp.sum(accept.astype(jnp.int32)))
 
 
 def _wheel_update_fused(

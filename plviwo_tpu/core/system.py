@@ -136,7 +136,8 @@ class VioSystem:
         # telemetry (reference: UpdaterStatistics per sensor)
         self.stats = {"cam_accept": 0, "cam_reject": 0, "clones": 0, "updates": 0,
                       "wheel_accept": 0, "wheel_reject": 0,
-                      "line_accept": 0, "line_reject": 0, "lost_marg_obs": 0}
+                      "line_accept": 0, "line_reject": 0, "lost_marg_obs": 0,
+                      "gps_fused": 0}
         self.traj: list = []  # (t, q_GtoI, p_IinG) at clone times
 
     # ------------------------------------------------------------------
@@ -358,13 +359,44 @@ class VioSystem:
                 if sel is None:
                     continue  # unservable frame
             it, iw, ia = (jnp.asarray(x) for x in sel)
+            # dynamic cloning in the fused engine (round-4 VERDICT item 7;
+            # reference: SystemManager.cpp:293-312): the host rate policy
+            # decides whether THIS frame lands a clone; non-clone frames
+            # still track, and their point rows interpolate between clones
+            # on device (core/step._camera_msckf_rows_interp).  The
+            # interpolation-error model inflates pixel noise like the
+            # reference's use_pol_cov (OptionsEstimator.h:58-121).
+            use_dyn = bool(op.dynamic_cloning)
+            do_clone = True
+            sigma_pix_eff = max(op.cam.sigma_pix, 1e-3)
+            if use_dyn:
+                nct = getattr(self, "_fused_next_clone_t", None)
+                do_clone = nct is None or t >= nct - 1e-9
+                if do_clone:
+                    ang_acc, lin_acc = dynclone.estimate_accelerations(
+                        self.imu_buf.t, self.imu_buf.w, self.imu_buf.a,
+                        gravity_mag=op.gravity_mag)
+                    hz = dynclone.select_clone_rate(
+                        ang_acc, lin_acc, order=1,
+                        max_hz=float(op.clone_freq))
+                    self._cur_accel = ang_acc + lin_acc
+                    self._fused_next_clone_t = t + 1.0 / hz - 1e-6
+                    self._fused_clone_hz = hz
+                fx = float(np.asarray(self.state.cam_k)[0, 0])
+                interp_std = dynclone.interp_noise_std(
+                    getattr(self, "_cur_accel", 0.0),
+                    getattr(self, "_fused_clone_hz", 10.0), 1)
+                sigma_pix_eff = float(np.sqrt(
+                    sigma_pix_eff**2 + (fx * interp_std) ** 2))
             # wheel window spans [newest existing clone, t] = fused_frame's
-            # preintegration interval (slot0 -> the new clone)
-            wheel_pad = 32
+            # preintegration interval (slot0 -> the new clone); with dynamic
+            # cloning the interval is clone-to-clone
+            wheel_pad = 64 if use_dyn else 32
             wsel = None
-            if op.wheel.enabled and self._last_frame_t is not None:
-                wsel = self.wheel_buf.select(self._last_frame_t, t,
-                                             pad_to=wheel_pad)
+            w_t0 = (getattr(self, "_fused_last_clone_t", None)
+                    if use_dyn else self._last_frame_t)
+            if op.wheel.enabled and w_t0 is not None and do_clone:
+                wsel = self.wheel_buf.select(w_t0, t, pad_to=wheel_pad)
             if wsel is not None:
                 wt, wm1, wm2 = (jnp.asarray(x) for x in wsel)
                 wvalid = jnp.asarray(True)
@@ -373,13 +405,36 @@ class VioSystem:
                 wm1 = jnp.zeros((wheel_pad,))
                 wm2 = jnp.zeros((wheel_pad,))
                 wvalid = jnp.asarray(False)
+            # GPS rows ride the fused joint update once the 4-DoF ENU init
+            # (host-side GpsUpdater) has completed: pending fixes covered by
+            # this frame are consumed here as padded arrays (reference runs
+            # per-fix EKF updates, UpdaterGPS.cpp:165-270; the Gram-sum
+            # design makes 3 rows/fix nearly free)
+            use_gps_fused = self.gps is not None and self.gps.initialized
+            GPS_PAD = 4
+            gt = np.full((GPS_PAD,), t, dtype=np.float64)
+            gp = np.zeros((GPS_PAD, 3))
+            gv = np.zeros((GPS_PAD,), dtype=bool)
+            if use_gps_fused and self.gps.pending:
+                pend = self.gps.pending
+                # a fix is consumable once a clone at/after it exists
+                t_cov = t if do_clone else getattr(
+                    self, "_fused_last_clone_t", t)
+                take_idx = [i for i, f in enumerate(pend)
+                            if f[0] <= t_cov][:GPS_PAD]
+                self.gps.pending = [f for i, f in enumerate(pend)
+                                    if i not in take_idx]
+                for j, i in enumerate(take_idx):
+                    gt[j] = pend[i][0]
+                    gp[j] = pend[i][1]
+                    gv[j] = True
             tc = self.tc
             tc.ding("frame")
             self.state, self.track_state, m = fused_frame(
                 self.state, self.track_state, img,
                 it, iw, ia, jnp.asarray(t, F64), wt, wm1, wm2, wvalid,
                 self.gravity, self.sigmas,
-                max(op.cam.sigma_pix, 1e-3), op.cam.chi2_mult,
+                sigma_pix_eff, op.cam.chi2_mult,
                 op.cam.sigma_pix_line, (op.wheel.noise_w, op.wheel.noise_v,
                                         op.wheel.noise_p),
                 model=self.distortion_model, window_size=op.window_size,
@@ -387,7 +442,13 @@ class VioSystem:
                 min_track=max(op.cam.min_track_length, 3),
                 grid_x=op.cam.grid_x, grid_y=op.cam.grid_y,
                 min_px_dist=op.cam.min_px_dist,
-                use_wheel=op.wheel.enabled, use_lines=op.cam.use_lines)
+                use_wheel=op.wheel.enabled, use_lines=op.cam.use_lines,
+                use_gps=use_gps_fused, gps_t=jnp.asarray(gt),
+                gps_p=jnp.asarray(gp), gps_valid=jnp.asarray(gv),
+                sigma_gps=op.gps.noise if self.gps is not None else 3.0,
+                gps_chi2_mult=op.gps.chi2_mult if self.gps is not None
+                else 1.0,
+                use_dynamic=use_dyn, do_clone=jnp.asarray(bool(do_clone)))
             ms_frame = 1e3 * tc.dong("frame")
             self.frame_timing = {"frame": ms_frame}
             # ONE host transfer for the frame's telemetry
@@ -400,10 +461,13 @@ class VioSystem:
             self.stats["line_accept"] += lacc
             self.stats["line_reject"] += max(lharv - lacc, 0)
             wacc = int(mh["wheel_accepted"])
+            self.stats["gps_fused"] += int(mh.get("gps_accepted", 0))
             self.stats["wheel_accept"] += wacc
             if bool(wvalid) and not wacc:
                 self.stats["wheel_reject"] += 1
-            self.stats["clones"] += 1
+            if do_clone:
+                self.stats["clones"] += 1
+                self._fused_last_clone_t = t
             self.stats["updates"] += 1
             self._last_frame_t = t
             self._record_pose()

@@ -4,7 +4,16 @@ Measures batched fused-step throughput at 1 device vs N devices on the
 available mesh (virtual CPU devices in CI, real chips on hardware) and
 reports efficiency = throughput_N / (N * throughput_1).
 
+`--sweep` adds the round-4 VERDICT item-8 decomposition: for each N the
+same total batch also runs UNSHARDED on one device (same physical cores,
+no mesh, no collectives).  comm_factor = t_sharded / t_solo then isolates
+the cost of sharding itself from core capacity: on a host whose virtual
+devices outnumber physical cores, weak-scaling efficiency must fall with
+oversubscription even if the collectives are free, and comm_factor ~ 1.0
+is the proof that the loss is capacity, not communication.
+
 Run: python -m plviwo_tpu.parallel.scaling [--devices 8] [--b-per-dev 4]
+     python -m plviwo_tpu.parallel.scaling --sweep
 """
 
 from __future__ import annotations
@@ -15,7 +24,13 @@ import time
 
 
 def measure(n_devices: int, b_per_dev: int = 4, n_iter: int = 10,
-            n_clones: int = 12, F: int = 16, O: int = 8, imu_n: int = 16):
+            n_clones: int = 12, F: int = 16, O: int = 8, imu_n: int = 16,
+            solo: bool = False):
+    """Throughput of the sharded batched step at B = n_devices * b_per_dev.
+
+    With `solo=True` the SAME total batch runs unsharded on device 0 (plain
+    jit of the vmapped step, no mesh/collectives) — the comm-separation
+    control of the weak-scaling sweep."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -24,7 +39,7 @@ def measure(n_devices: int, b_per_dev: int = 4, n_iter: int = 10,
 
     from ..core.layout import StateLayout
     from ..core.state import make_state
-    from .replay import make_mesh, sharded_step_fn
+    from .replay import batched_step, make_mesh, sharded_step_fn
 
     B = n_devices * b_per_dev
     layout = StateLayout(n_clones=n_clones, n_cams=1)
@@ -51,8 +66,13 @@ def measure(n_devices: int, b_per_dev: int = 4, n_iter: int = 10,
     gravity = jnp.asarray([0.0, 0.0, 9.81])
     sigmas = (1.7e-4, 2.0e-3, 1.9e-5, 3.0e-3)
 
-    mesh = make_mesh(n_devices)
-    step = sharded_step_fn(mesh)
+    if solo:
+        import functools
+
+        step = jax.jit(functools.partial(batched_step))
+    else:
+        mesh = make_mesh(n_devices)
+        step = sharded_step_fn(mesh)
     out, _ = step(batched, imu_t, imu_w, imu_a, t_new, obs_uv, obs_uvn,
                   obs_slot, obs_valid, gravity, sigmas, 1.0, 1.0)
     jax.block_until_ready(out.p)
@@ -69,10 +89,53 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--b-per-dev", type=int, default=4)
+    ap.add_argument("--sweep", action="store_true",
+                    help="weak-scaling sweep over 1/2/4/.../N devices with "
+                         "an unsharded same-batch control per point")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a JAX platform (e.g. cpu) via the config "
+                         "API — env vars alone are overridden by this "
+                         "environment's sitecustomize TPU pin")
     args = ap.parse_args(argv)
+    import os
+
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     n = args.devices or len(jax.devices())
+    if args.sweep:
+        cores = os.cpu_count() or 1
+        rows = []
+        fps1 = None
+        N = 1
+        while N <= n:
+            fpsN = measure(N, args.b_per_dev)
+            fps_solo = measure(N, args.b_per_dev, solo=True)
+            if fps1 is None:
+                fps1 = fpsN
+            rows.append({
+                "devices": N, "batch": N * args.b_per_dev,
+                "fps_sharded": round(fpsN, 1),
+                "fps_solo_same_batch": round(fps_solo, 1),
+                # per-device work constant -> perfect = fps(N) = N*fps(1)
+                "weak_efficiency": round(fpsN / (N * fps1), 3),
+                # sharding cost at equal work on the same cores
+                "comm_factor": round(fps_solo / max(fpsN, 1e-9), 3),
+            })
+            N *= 2
+        out = {
+            "mode": "weak", "b_per_dev": args.b_per_dev,
+            "physical_cores": cores, "rows": rows,
+            "note": ("weak_efficiency = fps(N)/fps(1) with constant "
+                     "per-device work; comm_factor = fps_solo/fps_sharded "
+                     "at the SAME total batch on the same cores — ~1.0 "
+                     "means any weak-efficiency loss is core capacity "
+                     "(virtual devices > physical cores), not collectives"),
+        }
+        print(json.dumps(out))
+        return 0
     fps1 = measure(1, args.b_per_dev)
     fpsN = measure(n, args.b_per_dev)
     eff = fpsN / (n * fps1)

@@ -28,6 +28,10 @@ def main(argv=None):
                     help="stereo feed: shared-ID left/right observations")
     ap.add_argument("--wheel", action="store_true", help="enable wheel-odometry fusion (VIWO)")
     ap.add_argument("--lines", action="store_true", help="enable line-feature fusion (PL)")
+    ap.add_argument("--gps", action="store_true",
+                    help="enable GNSS fusion: host-side 4-DoF delayed init, "
+                         "then per-fix rows in the joint update (fused rows "
+                         "when combined with --images)")
     ap.add_argument("--plc", action="store_true",
                     help="point-line-coupled rows (attached-point distances; "
                          "reference ships use_PLC=false)")
@@ -126,6 +130,11 @@ def main(argv=None):
         opts.cam.max_lines = 20
         opts.cam.sigma_pix_line = 2.0
         opts.cam.use_plc = args.plc
+    if args.gps:
+        opts.gps.enabled = True
+        opts.gps.noise = cfg.sigma_gps
+        opts.gps.chi2_mult = 10.0
+        opts.gps.init_distance = 8.0
     if args.wheel:
         opts.wheel.enabled = True
         opts.wheel.type = "Wheel3DAng"
@@ -149,6 +158,11 @@ def main(argv=None):
     if args.wheel:
         sys_.set_wheel_calibration(cfg.wheel_ext_q, cfg.wheel_ext_p,
                                    [cfg.wheel_rl, cfg.wheel_rr, cfg.wheel_base])
+    if args.gps:
+        import jax.numpy as _jnp
+
+        sys_.state = sys_.state.replace(
+            gps_p=sys_.state.gps_p.at[0].set(_jnp.asarray(cfg.gps_ext_p)))
     recorder = None
     if args.record:
         from .utils.recorder import StateRecorder
@@ -252,9 +266,17 @@ def main(argv=None):
         if args.wheel else []
     )
     next_wheel = next(wheel_iter, None)
+    # identity world->ENU (the driver's metrics stay in one frame; the
+    # yawed/offset alignment path is exercised by tests/test_gps_fused.py)
+    gps_iter = iter([(float(t), sim.gps_sample(t)) for t in sim.gps_times()]
+                    if args.gps else [])
+    next_gps = next(gps_iter, None)
 
     t_wall = time.time()
     for i in range(len(imu_t)):
+        while next_gps is not None and next_gps[0] <= imu_t[i]:
+            sys_.feed_gps_enu(*next_gps)
+            next_gps = next(gps_iter, None)
         while next_wheel is not None and next_wheel[0] <= imu_t[i]:
             sys_.feed_wheel(*next_wheel)
             next_wheel = next(wheel_iter, None)
@@ -335,6 +357,9 @@ def main(argv=None):
         "fps": round(len(sys_.traj) / wall, 1),
     }
     summary.update(sys_.final_report())
+    if args.gps and sys_.gps is not None:
+        summary["gps_initialized"] = bool(sys_.gps.initialized)
+        summary["gps_fused_rows"] = sys_.stats.get("gps_fused", 0)
     if args.calib:
         ext_err = float(np.linalg.norm(
             np.asarray(sys_.state.cam_p[0]) - np.asarray(cfg.cam_ext_p)))

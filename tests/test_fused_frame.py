@@ -151,10 +151,12 @@ def test_fused_frame_e2e_tracks_trajectory():
     assert wheel_acc > n_frames // 2, f"wheel updates: {wheel_acc}"
     assert np.isfinite(errs).all()
     rmse = float(np.sqrt(np.mean(np.square(errs))))
-    # image-driven mono VIWO on rendered frames: round-2's host image path
-    # achieved ~0.17 m on this class of run
-    assert rmse < 0.35, f"image-driven fused-frame RMSE {rmse:.3f} m"
-    assert errs[-1] < 0.6, f"final error {errs[-1]:.3f} m"
+    # measured fused-path envelope (round-5 A/B, tools/ab_runlen.py over
+    # seeds 3/7/11: RMSE 0.215-0.234 m for both detectors) x 1.5 margin —
+    # a 2x regression of the flagship engine now fails CI (round-4 VERDICT
+    # weak #5 tightening; the old 0.35 gate allowed ~60% drift)
+    assert rmse < 0.32, f"image-driven fused-frame RMSE {rmse:.3f} m"
+    assert errs[-1] < 0.45, f"final error {errs[-1]:.3f} m"
     # covariance stays healthy
     d = jnp.diagonal(state.cov)
     assert bool(jnp.all(jnp.isfinite(d))) and bool(jnp.all(d > -1e-9))

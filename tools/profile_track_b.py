@@ -8,6 +8,14 @@ honest bench (per-sequence decorrelated images) dropped from 201.6 to
 front-end stage as its own jitted vmapped dispatch at bench shapes.
 
 Run on the TPU: `python tools/profile_track_b.py --b 64`.
+
+Fidelity note (round-4 ADVICE): stage inputs APPROXIMATE track_frame's —
+the LK stage uses bts.valid without ANDing has_prev, RANSAC is timed
+unconditionally (track_frame gates it on >=12 survivors, which is the
+common case anyway), and the attach stage sees pre-redetect uv_next/lk_ok
+instead of uv_all/valid_all.  Shapes and code paths are identical, so the
+timings are representative, but stage-vs-full_frame deltas of a few
+percent should not be over-read.
 """
 
 from __future__ import annotations
