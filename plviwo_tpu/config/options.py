@@ -53,6 +53,10 @@ class CameraOptions:
     use_lines: bool = False
     max_lines: int = 40
     sigma_pix_line: float = 1.5
+    # fused image engine: dtype of the heavy per-feature camera tensors
+    # (triangulation/Jacobians/gate).  "f32" is the TPU-fast default; "f64"
+    # trades throughput for long-run accuracy (see BASELINE.md stress A/B)
+    fused_dtype: str = "f32"
     # point-line-coupled rows (reference ships use_PLC=false,
     # UpdaterCamera.cpp PLC flag; LineHelper.cpp:879-890)
     use_plc: bool = False

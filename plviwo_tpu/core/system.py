@@ -438,7 +438,9 @@ class VioSystem:
                 op.cam.sigma_pix_line, (op.wheel.noise_w, op.wheel.noise_v,
                                         op.wheel.noise_p),
                 model=self.distortion_model, window_size=op.window_size,
-                cam_dtype=jnp.float32, wheel_type=self.wheel_type,
+                cam_dtype=(jnp.float64 if op.cam.fused_dtype == "f64"
+                           else jnp.float32),
+                wheel_type=self.wheel_type,
                 min_track=max(op.cam.min_track_length, 3),
                 grid_x=op.cam.grid_x, grid_y=op.cam.grid_y,
                 min_px_dist=op.cam.min_px_dist,

@@ -54,6 +54,9 @@ def main(argv=None):
     ap.add_argument("--images", action="store_true",
                     help="render frames and run the real KLT front-end "
                          "(instead of simulator data association)")
+    ap.add_argument("--fused-f64", action="store_true",
+                    help="with --images: run the fused engine's camera "
+                         "tensors in f64 (accuracy A/B vs the f32 default)")
     ap.add_argument("--host-tracker", action="store_true",
                     help="with --images: use the host-orchestrated trackers "
                          "instead of the default one-dispatch fused_frame "
@@ -183,6 +186,8 @@ def main(argv=None):
     cam_ts = sim.cam_times()
     feed_images = args.images and not (args.stereo or args.tags
                                        or args.host_tracker)
+    if args.fused_f64:
+        opts.cam.fused_dtype = "f64"
     if feed_images:
         # unified live path: raw frames through the device-resident
         # fused_frame engine, ONE dispatch per frame (VioSystem.feed_image)
