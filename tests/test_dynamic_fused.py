@@ -66,27 +66,27 @@ def test_feed_image_dynamic_cloning_nees():
             sys_.feed_wheel(float(wheel_ts[wi]), m1, m2)
             wi += 1
         while ci < len(cam_ts) and cam_ts[ci] <= t:
-            n_upd0 = sys_.stats["updates"]
             sys_.feed_image(cam_ts[ci], sim.render_frame(cam_ts[ci]))
             ci += 1
-            if sys_.stats["updates"] > n_upd0:
-                st = sys_.state
-                tn = float(st.time)
-                kin = sim.gt_kin(tn)
-                cov = np.asarray(st.cov)
-                j = min(int(np.searchsorted(imu_t, tn)), len(imu_t) - 1)
-                dR = (np.asarray(lie.quat_2_rot(st.q))
-                      @ np.asarray(kin["R_GtoI"]).T)
-                d = np.sqrt(np.maximum(np.diag(cov)[:15], 1e-18))
-                nees_rows.append({
-                    "p": np.sum(((np.asarray(st.p) - kin["p_IinG"])
-                                 / d[3:6]) ** 2),
-                    "o": np.sum((np.asarray(lie.log_so3(jnp.asarray(dR)))
-                                 / d[0:3]) ** 2),
-                    "v": np.sum(((np.asarray(st.v) - kin["v_IinG"])
-                                 / d[6:9]) ** 2),
-                })
+        n_upd0 = sys_.stats["updates"]
         sys_.feed_imu(float(t), imu_w[i], imu_a[i])
+        # frames are served once IMU coverage arrives, i.e. inside feed_imu
+        if sys_.stats["updates"] > n_upd0:
+            st = sys_.state
+            tn = float(st.time)
+            kin = sim.gt_kin(tn)
+            cov = np.asarray(st.cov)
+            dR = (np.asarray(lie.quat_2_rot(st.q))
+                  @ np.asarray(kin["R_GtoI"]).T)
+            d = np.sqrt(np.maximum(np.diag(cov)[:15], 1e-18))
+            nees_rows.append({
+                "p": np.sum(((np.asarray(st.p) - kin["p_IinG"])
+                             / d[3:6]) ** 2),
+                "o": np.sum((np.asarray(lie.log_so3(jnp.asarray(dR)))
+                             / d[0:3]) ** 2),
+                "v": np.sum(((np.asarray(st.v) - kin["v_IinG"])
+                             / d[6:9]) ** 2),
+            })
         if ci >= len(cam_ts):
             break
 
