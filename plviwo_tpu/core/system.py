@@ -342,9 +342,18 @@ class VioSystem:
             self._pending_images.popleft()
             if getattr(self, "track_state", None) is None:
                 H, W = img.shape[:2]
+                n_slots = max(op.cam.n_pts, 32)
                 self.track_state = make_track_state(
-                    H, W, n_pts=max(op.cam.n_pts, 32),
+                    H, W, n_pts=n_slots,
                     max_lines=max(op.cam.max_lines, 8), max_obs=8)
+                # detection grid must offer >= one cell per slot (the fused
+                # detector takes the best corner per cell; reference scale:
+                # 1500 pts / 15x15 grid with per-cell top-off,
+                # config_camera.yaml:11-21)
+                gx = max(op.cam.grid_x,
+                         int(np.ceil(np.sqrt(n_slots * W / H))))
+                gy = max(op.cam.grid_y, int(np.ceil(n_slots / gx)))
+                self._fused_grid = (gx, gy)
             sel = self.imu_buf.select(float(self.state.time), t,
                                       pad_to=IMU_PAD)
             if sel is None:
@@ -442,7 +451,7 @@ class VioSystem:
                            else jnp.float32),
                 wheel_type=self.wheel_type,
                 min_track=max(op.cam.min_track_length, 3),
-                grid_x=op.cam.grid_x, grid_y=op.cam.grid_y,
+                grid_x=self._fused_grid[0], grid_y=self._fused_grid[1],
                 min_px_dist=op.cam.min_px_dist,
                 use_wheel=op.wheel.enabled, use_lines=op.cam.use_lines,
                 use_gps=use_gps_fused, gps_t=jnp.asarray(gt),

@@ -193,7 +193,9 @@ def main(argv=None):
         # fused_frame engine, ONE dispatch per frame (VioSystem.feed_image)
         opts.cam.sigma_pix = max(opts.cam.sigma_pix, 1.5)
         opts.cam.chi2_mult = 8.0
-        opts.cam.n_pts = min(opts.cam.n_pts, 96)  # device tracker slots
+        # device tracker slot count = n_pts (detection grid scales with it
+        # in VioSystem._process_pending_images); default stays modest
+        opts.cam.n_pts = int(args.n_pts) if args.n_pts != 45 else 96
         opts.cam.max_lines = min(opts.cam.max_lines, 24)
         if args.lines:
             opts.cam.sigma_pix_line = 2.5

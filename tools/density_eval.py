@@ -33,7 +33,9 @@ def run_loop(n_pts: int, max_lines: int, n_frames: int, seed: int):
     W, H = 640, 480
     grid_x = max(16, int(np.ceil(np.sqrt(n_pts * W / H))))
     grid_y = max(12, int(np.ceil(n_pts / grid_x)))
-    cfg = SimConfig(duration=10.0, n_landmarks=max(350, 2 * n_pts),
+    # FIXED world across densities (3000 landmarks) so the ATE column of
+    # the density table varies only with tracker capacity, not scene
+    cfg = SimConfig(duration=10.0, n_landmarks=3000,
                     n_lines=40, width=W, height=H, seed=seed)
     sim = Simulator(cfg)
     layout = StateLayout(n_clones=14, n_cams=1, use_wheel=True)
