@@ -57,6 +57,15 @@ class CameraOptions:
     # (triangulation/Jacobians/gate).  "f32" is the TPU-fast default; "f64"
     # trades throughput for long-run accuracy (see BASELINE.md stress A/B)
     fused_dtype: str = "f32"
+    # fused image engine: observation-history depth per track slot.  A
+    # track harvests when it dies or fills O obs; larger O = longer
+    # triangulation baselines per harvest (the DB path uses the full clone
+    # window) at linearly more row-build work.  12 ~ the 1 s / 10 Hz clone
+    # window; measured stress ATE 1.22 (O=8) -> 1.02 m (O=12) at 128 slots
+    fused_max_obs: int = 12
+    # fused image engine: gather-free shifted-MAC LK (True, TPU-fast) vs
+    # the gather formulation (False, no drift budget — quality A/B)
+    fused_lk_conv: bool = True
     # point-line-coupled rows (reference ships use_PLC=false,
     # UpdaterCamera.cpp PLC flag; LineHelper.cpp:879-890)
     use_plc: bool = False

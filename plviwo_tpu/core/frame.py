@@ -241,7 +241,7 @@ def _attach_points(segs, seg_valid, uv, pt_valid, max_dist=5.0,
     "levels", "half", "iters", "grid_x", "grid_y", "min_px_dist",
     "min_track", "min_track_line", "cam_model", "line_grid",
     "line_anchors", "line_steps", "min_line_length", "lk_conv",
-    "line_runlen"))
+    "line_runlen", "lk_pallas"))
 def track_frame(
     ts: TrackState, img, cam_k, t_new, slot_new,
     levels: int = 3, half: int = 7, iters: int = 10,
@@ -249,7 +249,7 @@ def track_frame(
     min_track: int = 4, min_track_line: int = 3, cam_model: int = 0,
     line_grid: int = 16, line_anchors: int = 192, line_steps: int = 96,
     min_line_length: float = 30.0, lk_conv: bool = True,
-    line_runlen: bool = True,
+    line_runlen: bool = True, lk_pallas: bool = False,
 ):
     """One tracked camera frame entirely on device.
 
@@ -270,9 +270,13 @@ def track_frame(
     prev_pyr = (ts.pyr0, ts.pyr1, ts.pyr2)
 
     # ---- temporal LK + RANSAC ----
-    # lk_conv: gather-free shifted-MAC LK (the TPU-fast path; see
-    # ops/klt.py pyramidal_lk_conv) vs the reference gather formulation
-    lk_fn = klt_ops.pyramidal_lk_conv if lk_conv else klt_ops.pyramidal_lk
+    # lk_pallas: VMEM-resident Pallas iteration kernel (ops/lk_kernel.py);
+    # lk_conv: gather-free shifted-MAC LK (XLA; see ops/klt.py
+    # pyramidal_lk_conv); else the reference gather formulation
+    if lk_pallas:
+        from ..ops.lk_kernel import pyramidal_lk_pallas as lk_fn
+    else:
+        lk_fn = klt_ops.pyramidal_lk_conv if lk_conv else klt_ops.pyramidal_lk
     uv_next, ok = lk_fn(
         prev_pyr, tuple(pyr), ts.uv, ts.valid & ts.has_prev, levels, half,
         iters)
@@ -455,8 +459,8 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "model", "window_size", "cam_dtype", "wheel_type", "use_pallas",
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
-    "use_wheel", "use_lines", "lk_conv", "line_runlen", "use_gps",
-    "use_dynamic"))
+    "use_wheel", "use_lines", "lk_conv", "line_runlen", "lk_pallas",
+    "use_gps", "use_dynamic"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -469,7 +473,7 @@ def fused_frame(
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
     use_wheel: bool = True, use_lines: bool = True, lk_conv: bool = True,
-    line_runlen: bool = True,
+    line_runlen: bool = True, lk_pallas: bool = False,
     use_gps: bool = False, gps_t=None, gps_p=None, gps_valid=None,
     sigma_gps: float = 3.0, gps_chi2_mult: float = 1.0,
     use_dynamic: bool = False, do_clone=None,
@@ -514,7 +518,7 @@ def fused_frame(
         min_px_dist=min_px_dist, min_track=min_track,
         min_track_line=min_track_line, cam_model=model,
         line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv,
-        line_runlen=line_runlen)
+        line_runlen=line_runlen, lk_pallas=lk_pallas)
 
     if use_dynamic:
         # points: obs resolved by TIME against the clone ring (bracketing +

@@ -345,7 +345,8 @@ class VioSystem:
                 n_slots = max(op.cam.n_pts, 32)
                 self.track_state = make_track_state(
                     H, W, n_pts=n_slots,
-                    max_lines=max(op.cam.max_lines, 8), max_obs=8)
+                    max_lines=max(op.cam.max_lines, 8),
+                    max_obs=max(op.cam.fused_max_obs, 4))
                 # detection grid must offer >= one cell per slot (the fused
                 # detector takes the best corner per cell; reference scale:
                 # 1500 pts / 15x15 grid with per-cell top-off,
@@ -454,6 +455,7 @@ class VioSystem:
                 grid_x=self._fused_grid[0], grid_y=self._fused_grid[1],
                 min_px_dist=op.cam.min_px_dist,
                 use_wheel=op.wheel.enabled, use_lines=op.cam.use_lines,
+                lk_conv=op.cam.fused_lk_conv,
                 use_gps=use_gps_fused, gps_t=jnp.asarray(gt),
                 gps_p=jnp.asarray(gp), gps_valid=jnp.asarray(gv),
                 sigma_gps=op.gps.noise if self.gps is not None else 3.0,

@@ -57,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--fused-f64", action="store_true",
                     help="with --images: run the fused engine's camera "
                          "tensors in f64 (accuracy A/B vs the f32 default)")
+    ap.add_argument("--max-obs", type=int, default=None,
+                    help="with --images: fused tracker history depth per "
+                         "slot (harvest-at-full baseline length)")
     ap.add_argument("--host-tracker", action="store_true",
                     help="with --images: use the host-orchestrated trackers "
                          "instead of the default one-dispatch fused_frame "
@@ -188,6 +191,8 @@ def main(argv=None):
                                        or args.host_tracker)
     if args.fused_f64:
         opts.cam.fused_dtype = "f64"
+    if args.max_obs is not None:
+        opts.cam.fused_max_obs = args.max_obs
     if feed_images:
         # unified live path: raw frames through the device-resident
         # fused_frame engine, ONE dispatch per frame (VioSystem.feed_image)
