@@ -81,16 +81,28 @@ def main():
             lambda a0, a1, a2, b0_, b1_, b2_, u, v:
             pyramidal_lk_pallas((a0, a1, a2), (b0_, b1_, b2_), u, v,
                                 3, 7, 10)))
+        jit_pal_sf = jax.jit(jax.vmap(
+            lambda a0, a1, a2, b0_, b1_, b2_, u, v:
+            pyramidal_lk_pallas((a0, a1, a2), (b0_, b1_, b2_), u, v,
+                                3, 7, 10, shift_free=True)))
         uc, okc = jit_conv(*p0, *p1, uv, valid)
         up, okp = jit_pal(*p0, *p1, uv, valid)
+        usf, oksf = jit_pal_sf(*p0, *p1, uv, valid)
         both = np.asarray(okc & okp)
         d = np.linalg.norm(np.asarray(uc - up), axis=-1)[both]
+        dsf = np.linalg.norm(np.asarray(uc - usf), axis=-1)[
+            np.asarray(okc & oksf)]
         ms_c = t_ms(lambda: jit_conv(*p0, *p1, uv, valid))
         ms_p = t_ms(lambda: jit_pal(*p0, *p1, uv, valid))
+        ms_sf = t_ms(lambda: jit_pal_sf(*p0, *p1, uv, valid))
         print(json.dumps({
             "N": N, "B": B,
             "conv_ms": round(ms_c, 1), "pallas_ms": round(ms_p, 1),
+            "pallas_sf_ms": round(ms_sf, 1),
             "speedup": round(ms_c / ms_p, 2),
+            "speedup_sf": round(ms_c / ms_sf, 2),
+            "sf_median_dev_px": round(float(np.median(dsf)), 5)
+            if dsf.size else None,
             "ok_conv": int(np.asarray(okc).sum()),
             "ok_pallas": int(np.asarray(okp).sum()),
             "median_dev_px": round(float(np.median(d)), 5) if d.size else None,
