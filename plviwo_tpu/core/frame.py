@@ -83,6 +83,14 @@ class TrackState:
     lhist_slot: jnp.ndarray  # (Lm, O) i32
     l_nobs: jnp.ndarray     # (Lm,) i32
 
+    # stereo right-camera observations (zero-size-free: same shapes, unused
+    # in mono — XLA dead-code-eliminates untouched zeros)
+    uv_r: jnp.ndarray        # (N, 2) f32 right-cam positions (this frame)
+    rvalid: jnp.ndarray      # (N,) bool right association ok
+    hist_uv_r: jnp.ndarray   # (N, O, 2) f32
+    hist_uvn_r: jnp.ndarray  # (N, O, 2) f32
+    hist_rvalid: jnp.ndarray  # (N, O) bool
+
     key: jnp.ndarray  # (2,) u32 PRNG key (RANSAC hypothesis sampling)
 
 
@@ -110,6 +118,11 @@ def make_track_state(height: int, width: int, n_pts: int = 128,
         lhist_t=jnp.full((Lm, O), -jnp.inf, F64),
         lhist_slot=jnp.zeros((Lm, O), I32),
         l_nobs=jnp.zeros((Lm,), I32),
+        uv_r=jnp.zeros((N, 2), F32),
+        rvalid=jnp.zeros((N,), bool),
+        hist_uv_r=jnp.zeros((N, O, 2), F32),
+        hist_uvn_r=jnp.zeros((N, O, 2), F32),
+        hist_rvalid=jnp.zeros((N, O), bool),
         key=jax.random.PRNGKey(seed),
     )
 
@@ -149,6 +162,20 @@ def _append_obs(hist_uv, hist_uvn, hist_t, hist_slot, n_obs, mask,
         jnp.where(m, slot.astype(I32), hist_slot[idx, cur]))
     n_obs = jnp.where(m, n_obs + 1, n_obs)
     return hist_uv, hist_uvn, hist_t, hist_slot, n_obs
+
+
+def _append_r(h_uv, h_uvn, h_rv, cursor_nobs, mask, uv_r, uvn_r, rv):
+    """Write right-camera obs at the same cursors as the left append."""
+    N = h_uv.shape[0]
+    idx = jnp.arange(N)
+    cur = jnp.clip(cursor_nobs, 0, h_uv.shape[1] - 1)
+    m = mask
+    h_uv = h_uv.at[idx, cur].set(
+        jnp.where(m[:, None], uv_r.astype(F32), h_uv[idx, cur]))
+    h_uvn = h_uvn.at[idx, cur].set(
+        jnp.where(m[:, None], uvn_r.astype(F32), h_uvn[idx, cur]))
+    h_rv = h_rv.at[idx, cur].set(jnp.where(m, rv, h_rv[idx, cur]))
+    return h_uv, h_uvn, h_rv
 
 
 def _segment_nms(segs, lengths, valid, min_length, ang_tol=0.10,
@@ -241,15 +268,17 @@ def _attach_points(segs, seg_valid, uv, pt_valid, max_dist=5.0,
     "levels", "half", "iters", "grid_x", "grid_y", "min_px_dist",
     "min_track", "min_track_line", "cam_model", "line_grid",
     "line_anchors", "line_steps", "min_line_length", "lk_conv",
-    "line_runlen", "lk_pallas"))
+    "line_runlen", "lk_pallas", "use_stereo"))
 def track_frame(
     ts: TrackState, img, cam_k, t_new, slot_new,
-    levels: int = 3, half: int = 7, iters: int = 10,
+    levels: int = 3, half: int = 7, iters: int = 6,
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     min_track: int = 4, min_track_line: int = 3, cam_model: int = 0,
     line_grid: int = 16, line_anchors: int = 192, line_steps: int = 96,
     min_line_length: float = 30.0, lk_conv: bool = True,
     line_runlen: bool = True, lk_pallas: bool = False,
+    use_stereo: bool = False, img_r=None, cam_k_r=None,
+    max_y_diff: float = 6.0,
 ):
     """One tracked camera frame entirely on device.
 
@@ -301,6 +330,26 @@ def track_frame(
         ts.hist_uv, ts.hist_uvn, ts.hist_t, ts.hist_slot, ts.n_obs, alive,
         uv_cur, uvn_cur, t_new, slot_vec)
 
+    # ---- stereo: per-frame L->R association under slot identity ----
+    # (reference: TrackKLT::feed_stereo, TrackKLT.cpp:202-393 — left/right
+    # temporal tracking with shared-id association; here the left stream
+    # anchors identity and each frame's right obs comes from one L->R LK
+    # pass gated on the epipolar band.  Large-disparity rigs need the LK
+    # drift budget raised; the guess starts at the left position.)
+    if use_stereo:
+        img_r_eq = image_ops.hist_equalize_quantile(img_r.astype(F32))
+        pyr_r = image_ops.build_pyramid(img_r_eq, levels)
+        uv_r_cur, ok_r = lk_fn(tuple(pyr), tuple(pyr_r), uv_cur, alive,
+                               levels, half, iters)
+        ok_r = ok_r & (jnp.abs(uv_r_cur[:, 1] - uv_cur[:, 1]) < max_y_diff)
+        uvn_r_cur = cam_ops.undistort(uv_r_cur.astype(F64), cam_k_r,
+                                      cam_model)
+        hr_uv, hr_uvn, hr_v = _append_r(
+            ts.hist_uv_r, ts.hist_uvn_r, ts.hist_rvalid, ts.n_obs, alive,
+            uv_r_cur, uvn_r_cur, ok_r)
+    else:
+        hr_uv, hr_uvn, hr_v = ts.hist_uv_r, ts.hist_uvn_r, ts.hist_rvalid
+
     # ---- harvest full tracks (keep the corner tracked; restart history) ----
     h_full = alive & (n_obs >= O)
 
@@ -308,7 +357,8 @@ def track_frame(
     h_mask = h_dead | h_full
     obs_cnt = jnp.where(h_dead, ts.n_obs, n_obs)  # dead: pre-append count
     obs_mask = (jnp.arange(O)[None, :] < obs_cnt[:, None]) & h_mask[:, None]
-    point_harvest = (hist_uv, hist_uvn, hist_slot, obs_mask, hist_t)
+    point_harvest = (hist_uv, hist_uvn, hist_slot, obs_mask, hist_t,
+                     hr_uv, hr_uvn, obs_mask & hr_v)
 
     # restart: full tracks become 1-obs tracks at the current frame
     restart = h_full
@@ -319,6 +369,14 @@ def track_frame(
         jnp.where(restart[:, None], -jnp.inf, hist_t),
         jnp.where(restart[:, None], 0, hist_slot),
         n_obs, restart, uv_cur, uvn_cur, t_new, slot_vec)
+    if use_stereo:
+        hr_uv2, hr_uvn2, hr_v2 = _append_r(
+            jnp.where(restart[:, None, None], 0.0, hr_uv),
+            jnp.where(restart[:, None, None], 0.0, hr_uvn),
+            jnp.where(restart[:, None], False, hr_v),
+            jnp.zeros_like(ts.n_obs), restart, uv_r_cur, uvn_r_cur, ok_r)
+    else:
+        hr_uv2, hr_uvn2, hr_v2 = hr_uv, hr_uvn, hr_v
 
     # ---- re-detect into free slots ----
     det_uv, det_ok = klt_ops.detect_grid(
@@ -337,6 +395,11 @@ def track_frame(
         jnp.where(fresh[:, None], -jnp.inf, hist_t2),
         jnp.where(fresh[:, None], 0, hist_slot2),
         n_obs, fresh, uv_all, zn_new, t_new, slot_vec)
+    # fresh detections carry no right obs on their first frame (the L->R
+    # association runs pre-redetect); they gain right obs next frame
+    hr_uv3 = jnp.where(fresh[:, None, None], 0.0, hr_uv2)
+    hr_uvn3 = jnp.where(fresh[:, None, None], 0.0, hr_uvn2)
+    hr_v3 = jnp.where(fresh[:, None], False, hr_v2)
 
     # ================= lines =================
     # detect at half resolution like the reference (TrackLSD.cpp:194-236:
@@ -442,8 +505,11 @@ def track_frame(
         lseg=lseg_all.astype(F32), lvalid=lvalid_all, lattach=lattach_new,
         lhist_uv=lhu3, lhist_uvn=lhn3, lhist_t=lht3, lhist_slot=lhs3,
         l_nobs=l_nobs,
+        hist_uv_r=hr_uv3, hist_uvn_r=hr_uvn3, hist_rvalid=hr_v3,
         key=key,
     )
+    if use_stereo:
+        ts2 = ts2.replace(uv_r=uv_r_cur.astype(F32), rvalid=alive & ok_r)
     return ts2, point_harvest, line_harvest
 
 
@@ -460,7 +526,7 @@ def _liveness(state: FilterState, hist_slot, hist_t, obs_mask):
     "min_track", "min_track_line", "levels", "half", "iters",
     "grid_x", "grid_y", "min_px_dist", "line_anchors", "line_steps",
     "use_wheel", "use_lines", "lk_conv", "line_runlen", "lk_pallas",
-    "use_gps", "use_dynamic"))
+    "use_gps", "use_dynamic", "use_stereo"))
 def fused_frame(
     state: FilterState, ts: TrackState, img,
     imu_t, imu_w, imu_a, t_new,
@@ -469,7 +535,7 @@ def fused_frame(
     model: int = 0, window_size: float = 1.0, cam_dtype=jnp.float32,
     wheel_type: int = wheel_up.W3D_ANG, use_pallas: bool = False,
     min_track: int = 4, min_track_line: int = 3,
-    levels: int = 3, half: int = 7, iters: int = 10,
+    levels: int = 3, half: int = 7, iters: int = 6,
     grid_x: int = 16, grid_y: int = 12, min_px_dist: int = 10,
     line_anchors: int = 192, line_steps: int = 96,
     use_wheel: bool = True, use_lines: bool = True, lk_conv: bool = True,
@@ -477,6 +543,7 @@ def fused_frame(
     use_gps: bool = False, gps_t=None, gps_p=None, gps_valid=None,
     sigma_gps: float = 3.0, gps_chi2_mult: float = 1.0,
     use_dynamic: bool = False, do_clone=None,
+    use_stereo: bool = False, img_r=None,
 ):
     """One full PL-VIWO frame from PIXELS in one jit dispatch.
 
@@ -511,14 +578,16 @@ def fused_frame(
         slot1 = newest_clone_slot(state)
 
     # --- front-end (device) ---
-    ts, (p_uv, p_uvn, p_slot, p_mask, p_t), (l_uv, l_uvn, l_slot, l_mask,
-                                             l_t) = track_frame(
+    ts, (p_uv, p_uvn, p_slot, p_mask, p_t, r_uv, r_uvn, r_mask), (
+        l_uv, l_uvn, l_slot, l_mask, l_t) = track_frame(
         ts, img, state.cam_k[0], t_new, slot1,
         levels=levels, half=half, iters=iters, grid_x=grid_x, grid_y=grid_y,
         min_px_dist=min_px_dist, min_track=min_track,
         min_track_line=min_track_line, cam_model=model,
         line_anchors=line_anchors, line_steps=line_steps, lk_conv=lk_conv,
-        line_runlen=line_runlen, lk_pallas=lk_pallas)
+        line_runlen=line_runlen, lk_pallas=lk_pallas,
+        use_stereo=use_stereo, img_r=img_r,
+        cam_k_r=state.cam_k[1 % state.cam_k.shape[0]])
 
     if use_dynamic:
         # points: obs resolved by TIME against the clone ring (bracketing +
@@ -540,6 +609,13 @@ def fused_frame(
 
         G, c, _, metrics = _camera_msckf_rows_interp(
             state, p_uv.astype(F64), p_uvn.astype(F64), p_t, p_mask,
+            sigma_pix, chi2_mult, model, cam_dtype, as_gram=True)
+    elif use_stereo:
+        from .step import _camera_msckf_rows_stereo
+
+        G, c, _, metrics = _camera_msckf_rows_stereo(
+            state, p_uv.astype(F64), p_uvn.astype(F64), p_slot, p_mask,
+            r_uv.astype(F64), r_uvn.astype(F64), r_mask & p_mask,
             sigma_pix, chi2_mult, model, cam_dtype, as_gram=True)
     else:
         G, c, _, metrics = _camera_msckf_rows(

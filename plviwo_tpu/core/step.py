@@ -311,6 +311,76 @@ def _camera_msckf_rows_interp(
     return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
 
 
+def _camera_msckf_rows_stereo(
+    state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
+    r_uv, r_uvn, r_valid,
+    sigma_pix, chi2_mult, model: int, cam_dtype,
+    as_gram: bool = False,
+):
+    """Stereo camera rows for the fused engine: each track's left and
+    right observation series are CONCATENATED along the obs axis with a
+    per-observation camera index, triangulated and linearized jointly
+    (cam_helper.point_systems_batch_multicam), then nullspace-projected and
+    gated per feature exactly like the mono path.  Reference:
+    TrackKLT::feed_stereo (TrackKLT.cpp:202-393) feeding
+    get_feature_jacobian_full's per-camera observation loop
+    (CamHelper.cpp:58-267).
+
+    r_uv/r_uvn/r_valid: (F, O, ...) right-camera observations sharing the
+    left obs' clone slots (same timestamps by construction).
+    """
+    lo: StateLayout = state.layout
+    cd = cam_dtype
+    O = obs_uv.shape[1]
+    uv2 = jnp.concatenate([obs_uv, r_uv], axis=1)       # (F, 2O, 2)
+    uvn2 = jnp.concatenate([obs_uvn, r_uvn], axis=1)
+    slot2 = jnp.concatenate([obs_slot, obs_slot], axis=1)
+    cam2 = jnp.concatenate(
+        [jnp.zeros_like(obs_slot), jnp.ones_like(obs_slot)], axis=1)
+    valid2 = jnp.concatenate([obs_valid, r_valid], axis=1)
+
+    n_cams = state.cam_q.shape[0]
+    cam_sel = jnp.clip(cam2, 0, n_cams - 1)
+    cq = state.clone_q[slot2].astype(cd)
+    cp = state.clone_p[slot2].astype(cd)
+    p_f, ok, avg_err = cam_helper.triangulate_batch(
+        uvn2.astype(cd), cq, cp, valid2,
+        state.cam_q[cam_sel].astype(cd), state.cam_p[cam_sel].astype(cd))
+    fx = state.cam_k[0, 0]
+    ok = ok & (avg_err < 3.0 / fx.astype(cd))
+
+    Hx, Hf, r, rowmask = cam_helper.point_systems_batch_multicam(
+        p_f, uv2.astype(cd), slot2, cam_sel, valid2,
+        state.clone_q.astype(cd), state.clone_p.astype(cd),
+        state.clone_q_fej.astype(cd), state.clone_p_fej.astype(cd),
+        state.cam_q.astype(cd), state.cam_p.astype(cd),
+        state.cam_k.astype(cd),
+        model, lo.n_clones, lo.clone_off, lo.dim,
+    )
+    rowmask = rowmask & ok[:, None]
+    sigma2 = sigma_pix**2
+    chi2_table = jnp.asarray(_CHI2_NP).astype(cd)
+    Hn, rn, rowvalid, feat_ok = cam_helper.msckf_project_and_gate(
+        Hx, Hf, r, rowmask, state.cov.astype(cd),
+        jnp.asarray(sigma2, dtype=cd), chi2_table, chi2_mult)
+    M = Hn.shape[0] * Hn.shape[1]
+    H_all = Hn.reshape(M, lo.dim)
+    r_all = rn.reshape(M)
+    mask_all = rowvalid.reshape(M)
+    metrics = {
+        "accepted": jnp.sum(feat_ok),
+        "rows": jnp.sum(mask_all),
+        "avg_reproj": jnp.mean(jnp.where(ok, avg_err, 0.0)),
+    }
+    if as_gram:
+        G, c = _rows_to_gram(H_all, r_all, mask_all,
+                             jnp.asarray(sigma2, dtype=F64))
+        return G, c, None, metrics
+    Hc, rc, cmask = ekf.measurement_compress(H_all, r_all, mask_all)
+    sigma = jnp.sqrt(jnp.asarray(sigma2, dtype=F64))
+    return Hc.astype(F64) / sigma, rc.astype(F64) / sigma, cmask, metrics
+
+
 def _camera_msckf_update(
     state: FilterState, obs_uv, obs_uvn, obs_slot, obs_valid,
     sigma_pix, chi2_mult, model: int, cam_dtype,

@@ -303,7 +303,7 @@ class VioSystem:
                 self.fdb.update(int(fid), float(t), uv, uvn, cam=1)
         self.feed_camera(t, ids0, uvs0, line_ids, line_segs, line_pids)
 
-    def feed_image(self, t, img):
+    def feed_image(self, t, img, img_r=None):
         """One RAW camera frame: the unified images-in live path.
 
         Drives the device-resident `core/frame.fused_frame` engine — hist-eq,
@@ -312,19 +312,23 @@ class VioSystem:
         and ONE joint EKF update — as a single jit dispatch per frame
         (round-2 VERDICT item 2 / round-3 STATUS gap 4: the live VioSystem
         and the fused benchmark unit now share one engine).  Host work is
-        buffer assembly only (padded IMU/wheel windows).  GPS, when enabled,
-        remains its own dispatch at fix times (`feed_gps`).
+        buffer assembly only (padded IMU/wheel/GPS windows).
 
-        Configs that need the per-track assembly path (dynamic cloning,
-        use_imu_res interpolation, SLAM slots, stereo, PLC) keep feeding
-        tracked features through `feed_camera`/`feed_stereo`; the engine
-        covers the standard PL-VIWO flow (points + lines + wheel).
+        Round-5 coverage: GPS fixes ride the joint update post-4-DoF-init
+        (use_gps), dynamic cloning runs with interpolated point rows
+        (use_dynamic), and a right image (`img_r`) enables the stereo
+        L->R-association path (use_stereo) — the full KAIST sensor set in
+        one dispatch.  Only use_imu_res (CPI residuals), SLAM landmark
+        slots and PLC rows still require the per-track
+        `feed_camera`/`feed_stereo` assembly path.
         Reference flow parity: feed image -> track -> try_update
         (SystemManager.cpp:107-123 intended flow, SURVEY defect #2).
         """
         img = jnp.asarray(img, dtype=jnp.float32)
+        imr = (jax.device_put(jnp.asarray(img_r, dtype=jnp.float32))
+               if img_r is not None else None)
         self._pending_images = getattr(self, "_pending_images", deque())
-        self._pending_images.append((float(t), jax.device_put(img)))
+        self._pending_images.append((float(t), jax.device_put(img), imr))
         if self.initialized:
             self._process_pending_images()
 
@@ -333,7 +337,7 @@ class VioSystem:
 
         op = self.opts
         while getattr(self, "_pending_images", None):
-            t, img = self._pending_images[0]
+            t, img, img_r = self._pending_images[0]
             if t <= float(self.state.time):
                 self._pending_images.popleft()
                 continue
@@ -461,7 +465,9 @@ class VioSystem:
                 sigma_gps=op.gps.noise if self.gps is not None else 3.0,
                 gps_chi2_mult=op.gps.chi2_mult if self.gps is not None
                 else 1.0,
-                use_dynamic=use_dyn, do_clone=jnp.asarray(bool(do_clone)))
+                use_dynamic=use_dyn, do_clone=jnp.asarray(bool(do_clone)),
+                use_stereo=img_r is not None and self.layout.n_cams >= 2,
+                img_r=img_r)
             ms_frame = 1e3 * tc.dong("frame")
             self.frame_timing = {"frame": ms_frame}
             # ONE host transfer for the frame's telemetry

@@ -187,8 +187,9 @@ def main(argv=None):
                              sim.bg_true[0], sim.ba_true[0])
 
     cam_ts = sim.cam_times()
-    feed_images = args.images and not (args.stereo or args.tags
-                                       or args.host_tracker)
+    # stereo images route through the fused engine too (round-5: per-frame
+    # L->R association + multicam joint rows); host trackers stay available
+    feed_images = args.images and not (args.tags or args.host_tracker)
     if args.fused_f64:
         opts.cam.fused_dtype = "f64"
     if args.max_obs is not None:
@@ -204,8 +205,15 @@ def main(argv=None):
         opts.cam.max_lines = min(opts.cam.max_lines, 24)
         if args.lines:
             opts.cam.sigma_pix_line = 2.5
-        cam_iter = iter([(float(t), sim.render_frame(t, with_lines=args.lines))
-                         for t in cam_ts])
+        if args.stereo:
+            cam_iter = iter([
+                (float(t), sim.render_frame(t, with_lines=args.lines),
+                 sim.render_frame(t, with_lines=args.lines, cam=1))
+                for t in cam_ts])
+        else:
+            cam_iter = iter([
+                (float(t), sim.render_frame(t, with_lines=args.lines))
+                for t in cam_ts])
     elif args.images:
         from .update.tracker import KltTracker, StereoKltTracker
 

@@ -244,6 +244,93 @@ def _point_system_single(
     return Hx, Hf, r, rowmask
 
 
+def _point_system_single_multicam(
+    p_f, obs_uv, obs_slot, obs_cam, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q_all, cam_p_all, cam_k_all, model, n_clones, clone_off, D,
+):
+    """`_point_system_single` with a PER-OBSERVATION camera index — the
+    stereo fused engine's row builder (reference: get_feature_jacobian_full
+    iterates a feature's observations across cameras, CamHelper.cpp:58-267).
+
+    obs_cam: (O,) int camera index per observation; cam_{q,p,k}_all:
+    (n_cams, 4/3/8) extrinsics + intrinsics.  Mono is the n_cams=1 case.
+    """
+    O = obs_uv.shape[0]
+    cam_q = cam_q_all[obs_cam]  # (O,4)
+    cam_p = cam_p_all[obs_cam]  # (O,3)
+    cam_k = cam_k_all[obs_cam]  # (O,8)
+    R_ItoC = lie.quat_2_rot(cam_q)  # (O,3,3)
+
+    q_cl = clone_q[obs_slot]
+    p_cl = clone_p[obs_slot]
+    q_fe = clone_q_fej[obs_slot]
+    p_fe = clone_p_fej[obs_slot]
+
+    distort_fn = (cam_ops.distort_radtan if model == 0
+                  else cam_ops.distort_equi)
+
+    # --- residual at estimates ---
+    R_GtoI = lie.quat_2_rot(q_cl)
+    p_C = jnp.einsum("oij,oj->oi", R_ItoC @ R_GtoI, p_f[None] - p_cl) + cam_p
+    z = jnp.maximum(p_C[..., 2], 1e-6)
+    zn = p_C[..., :2] / z[..., None]
+    uv_pred = distort_fn(zn, cam_k)  # both (O, .): elementwise broadcast
+    r = (obs_uv - uv_pred).reshape(-1)
+
+    # --- Jacobians at FEJ ---
+    R_GtoI_f = lie.quat_2_rot(q_fe)
+    R_GtoC_f = R_ItoC @ R_GtoI_f
+    p_C_f = jnp.einsum("oij,oj->oi", R_GtoC_f, p_f[None] - p_fe) + cam_p
+    z_f = jnp.maximum(p_C_f[..., 2], 1e-6)
+    x_f, y_f = p_C_f[..., 0], p_C_f[..., 1]
+    dzn_dpC = jnp.stack(
+        [
+            jnp.stack([1.0 / z_f, jnp.zeros_like(z_f), -x_f / z_f**2], -1),
+            jnp.stack([jnp.zeros_like(z_f), 1.0 / z_f, -y_f / z_f**2], -1),
+        ],
+        -2,
+    )
+    zn_f = p_C_f[..., :2] / z_f[..., None]
+    duv_dzn, _ = cam_ops.distort_jacobian(zn_f, cam_k, model)
+    dpix = jnp.einsum("oij,ojk->oik", duv_dzn, dzn_dpC)
+
+    pf_in_I = jnp.einsum("oij,oj->oi", R_GtoI_f, p_f[None] - p_fe)
+    dpC_dth = jnp.einsum("oij,ojk->oik", R_ItoC, lie.skew(pf_in_I))
+    dpC_dp = -R_GtoC_f
+    dpC_dpf = R_GtoC_f
+
+    H_th = jnp.einsum("oik,okl->oil", dpix, dpC_dth)
+    H_p = jnp.einsum("oik,okl->oil", dpix, dpC_dp)
+    Hf = jnp.einsum("oik,okl->oil", dpix, dpC_dpf)
+
+    onehot = jax.nn.one_hot(obs_slot, n_clones, dtype=p_f.dtype)
+    block = jnp.concatenate([H_th, H_p], axis=-1)
+    Hc = (onehot[:, None, :, None] * block[:, :, None, :]).reshape(O, 2, -1)
+    Hx = jnp.zeros((O, 2, D), dtype=p_f.dtype)
+    Hx = Hx.at[:, :, clone_off : clone_off + 6 * n_clones].set(Hc)
+    Hx = Hx.reshape(2 * O, D)
+    Hf = Hf.reshape(2 * O, 3)
+    rowmask = jnp.repeat(obs_valid, 2)
+    return Hx, Hf, r, rowmask
+
+
+@partial(jax.jit, static_argnames=("model", "n_clones", "clone_off", "D"))
+def point_systems_batch_multicam(
+    p_f, obs_uv, obs_slot, obs_cam, obs_valid,
+    clone_q, clone_p, clone_q_fej, clone_p_fej,
+    cam_q_all, cam_p_all, cam_k_all,
+    model: int, n_clones: int, clone_off: int, D: int,
+):
+    """vmapped `_point_system_single_multicam` over features."""
+    return jax.vmap(
+        lambda pf, uv, sl, cm, va: _point_system_single_multicam(
+            pf, uv, sl, cm, va, clone_q, clone_p, clone_q_fej, clone_p_fej,
+            cam_q_all, cam_p_all, cam_k_all, model, n_clones, clone_off, D,
+        )
+    )(p_f, obs_uv, obs_slot, obs_cam, obs_valid)
+
+
 @partial(jax.jit, static_argnames=("model", "n_clones", "clone_off", "D"))
 def point_systems_batch(
     p_f, obs_uv, obs_slot, obs_valid,
